@@ -1,0 +1,100 @@
+"""Set-abstraction point encoders.
+
+TPU-native re-design of the reference encoders (cn3d_model_conbag.py):
+
+* ``PointNetPlus``   — cn3d_model_conbag.py:22-137, with the *canonical
+  4-output forward* (the one the drivers unpack; active verbatim in
+  ``PointNet_Plus_fine.forward`` at :213-234 — SURVEY §2 flags the shipped
+  ``PointNet_Plus.forward`` as dead-coded to 1 output).
+* ``PointNetPlusFine`` — cn3d_model_conbag.py:141-234 (S=32, K=128 variant).
+* Grouping happens *outside* the module (facl_tpu.ops.grouping), mirroring
+  the reference split between ``group_points_3DV`` and the nn.Module.
+
+Layout: channels-last throughout. Inputs:
+  neighborhoods: (G*B, S, K, C)   — crop-major flattening, crop g of video b
+                                     sits at row g*B + b (matching the
+                                     reference's reshape at
+                                     cn3d_train_apperance_GL.py:224-226).
+  centers:       (G*B, S, 3)
+
+The "global" branch max-pools the stage-2 features over all G crops of a
+video jointly (cn3d_model_conbag.py:225-226): reshape (G, B, S, F) ->
+(B, G*S, F) -> max over G*S.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from facl_tpu.config import ModelConfig
+from facl_tpu.models.layers import EmbedHead, PointMLP, l2_normalize
+
+Array = jax.Array
+
+
+class PointNetPlus(nn.Module):
+    """Single-level set-abstraction encoder with local + global heads."""
+    cfg: ModelConfig
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.sa_mlp = PointMLP(self.cfg.sa_widths,
+                               bn_momentum=self.cfg.bn_momentum, dtype=dtype)
+        self.stage2_mlp = PointMLP(self.cfg.stage2_widths,
+                                   bn_momentum=self.cfg.bn_momentum, dtype=dtype)
+        self.head = EmbedHead(self.cfg.fc_hidden, self.cfg.embed_dim,
+                              bn_momentum=self.cfg.bn_momentum, dtype=dtype)
+        # Prototype scores; no bias (cn3d_model_conbag.py:91).
+        self.mapping = nn.Dense(self.cfg.num_prototypes, use_bias=False,
+                                dtype=dtype, name="mapping")
+
+    def __call__(self, neighborhoods: Array, centers: Array,
+                 train: bool = True) -> Tuple[Array, Array, Array, Array]:
+        """Returns (x, code, x_nor, x_global):
+          x        (G*B, D)  per-crop embedding
+          code     (G*B, P)  prototype logits of the normalized embedding
+          x_nor    (G*B, D)  L2-normalized x
+          x_global (B, D)    per-video global embedding
+        """
+        G = self.cfg.num_crops
+        GB, S, K, C = neighborhoods.shape
+        B = GB // G
+
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        h = self.sa_mlp(neighborhoods.astype(dtype), train=train)  # (GB,S,K,256)
+        h = jnp.max(h, axis=2)                                     # (GB,S,256)
+        h = jnp.concatenate([centers.astype(dtype), h], axis=-1)   # (GB,S,259)
+        local_feat = self.stage2_mlp(h, train=train)               # (GB,S,1024)
+
+        x = jnp.max(local_feat, axis=1)                            # (GB,1024)
+
+        # Global branch: joint max over all crops of the same video.
+        gfeat = local_feat.reshape(G, B, S, local_feat.shape[-1])
+        gfeat = jnp.moveaxis(gfeat, 0, 1).reshape(B, G * S, -1)
+        x_global = jnp.max(gfeat, axis=1)                          # (B,1024)
+
+        x = self.head(x, train=train)                              # (GB,D)
+        x_global = self.head(x_global, train=train)                # (B,D)
+
+        x = x.astype(jnp.float32)
+        x_global = x_global.astype(jnp.float32)
+        x_nor = l2_normalize(x, axis=1)
+        code = self.mapping(x_nor).astype(jnp.float32)
+        return x, code, x_nor, x_global
+
+
+def make_fine_config(cfg: ModelConfig) -> ModelConfig:
+    """The 'fine' variant only changes grouping geometry (S=32, K=128 —
+    cn3d_model_conbag.py:142); the network itself is identical, so reuse
+    PointNetPlus and group with these parameters."""
+    return cfg
+
+
+class PointNetPlusFine(PointNetPlus):
+    """Alias with the fine grouping defaults; the torch classes differ only
+    in sample_num_level1/knn_K used for pooling extents, which our
+    shape-polymorphic pooling handles automatically."""
+    pass

@@ -1,0 +1,100 @@
+"""Encoder forward tests: shapes, the 4-output contract, global-branch
+semantics (cn3d_model_conbag.py:213-234), BN train/eval behavior."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facl_tpu.config import Config, ModelConfig
+from facl_tpu.models import PointNetPlus, PointNetSlowFast, LinearProbe
+from facl_tpu.ops.grouping import group_points
+
+
+def small_cfg(**kw):
+    base = dict(
+        sa_widths=(8, 8, 16), stage2_widths=(16, 32, 64), fc_hidden=32,
+        embed_dim=24, num_prototypes=10, num_crops=4,
+        slow_widths1=(4, 8, 16), slow_widths3=(16, 32, 32),
+        fast_widths1=(8, 16, 32), fast_widths3=(32, 32, 64),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_inputs(rng, G=4, B=2, S=8, K=8, C=4):
+    pts = jnp.asarray(rng.normal(size=(G * B, 32, C)).astype(np.float32))
+    return group_points(pts, S, K, radius_sq=10.0)
+
+
+def test_forward_shapes_and_contract(rng):
+    cfg = small_cfg()
+    G, B = cfg.num_crops, 2
+    neigh, cent = make_inputs(rng, G, B)
+    model = PointNetPlus(cfg)
+    variables = model.init(jax.random.PRNGKey(0), neigh, cent, train=False)
+    (x, code, x_nor, x_global), mutated = model.apply(
+        variables, neigh, cent, train=True, mutable=["batch_stats"])
+    assert x.shape == (G * B, cfg.embed_dim)
+    assert code.shape == (G * B, cfg.num_prototypes)
+    assert x_nor.shape == (G * B, cfg.embed_dim)
+    assert x_global.shape == (B, cfg.embed_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x_nor), axis=1), 1.0, rtol=1e-5)
+    assert "batch_stats" in mutated
+
+
+def test_global_branch_pools_over_crops(rng):
+    """The global embedding must change if any single crop changes, and be
+    invariant to crop order (max-pool over crops)."""
+    cfg = small_cfg()
+    G, B = cfg.num_crops, 2
+    neigh, cent = make_inputs(rng, G, B)
+    model = PointNetPlus(cfg)
+    variables = model.init(jax.random.PRNGKey(0), neigh, cent, train=False)
+
+    def run(n, c):
+        out, _ = model.apply(variables, n, c, train=True,
+                             mutable=["batch_stats"])
+        return out
+
+    _, _, _, xg = run(neigh, cent)
+
+    # Permute the crops (blocks of B) — x_global must be unchanged.
+    S, K, C = neigh.shape[1:]
+    n4 = neigh.reshape(G, B, S, K, C)
+    c4 = cent.reshape(G, B, S, 3)
+    perm = np.array([2, 0, 3, 1])
+    _, _, _, xg_perm = run(n4[perm].reshape(G * B, S, K, C),
+                           c4[perm].reshape(G * B, S, 3))
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xg_perm), atol=1e-5)
+
+
+def test_eval_uses_running_stats(rng):
+    cfg = small_cfg()
+    neigh, cent = make_inputs(rng, cfg.num_crops, 2)
+    model = PointNetPlus(cfg)
+    variables = model.init(jax.random.PRNGKey(0), neigh, cent, train=False)
+    out1 = model.apply(variables, neigh, cent, train=False)
+    out2 = model.apply(variables, neigh, cent, train=False)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+def test_slowfast_forward(rng):
+    cfg = small_cfg()
+    B = 4
+    pts = jnp.asarray(rng.normal(size=(B, 64, 4)).astype(np.float32))
+    slow_n, _ = group_points(pts, 8, 16, 10.0)
+    fast_n, _ = group_points(pts, 8, 8, 10.0)
+    model = PointNetSlowFast(cfg)
+    variables = model.init(jax.random.PRNGKey(0), slow_n, fast_n, train=False)
+    (xf, xs), _ = model.apply(variables, slow_n, fast_n, train=True,
+                              mutable=["batch_stats"])
+    assert xf.shape == (B, cfg.embed_dim)
+    assert xs.shape == (B, cfg.embed_dim)
+
+
+def test_linear_probe(rng):
+    feats = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    model = LinearProbe(num_classes=12)
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    logits = model.apply(variables, feats)
+    assert logits.shape == (8, 12)
