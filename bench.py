@@ -1,0 +1,83 @@
+"""Benchmark: contrastive-pretrain throughput (clips/sec/chip).
+
+Times the fused jit training step on the reference workload
+(BASELINE.md "workload definition"): batch 64 videos x 10 crops x 512
+points x 4 features; grouping S=64 centroids, K=64 neighbors; 512-d
+embeddings; active losses global-local + circle InfoNCE; Adam update.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": R}
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the denominator is produced by ``tools/bench_reference_torch.py`` — an
+exact re-timing harness of the reference's per-step work in PyTorch on this
+host — whose result is cached in ``baseline_local.json``. If that file is
+missing, vs_baseline falls back to 1.0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from facl_tpu.config import Config
+    from facl_tpu.train import Trainer
+
+    cfg = Config()
+    G = cfg.model.num_crops              # 10
+    B = cfg.train.batch_size             # 64
+    N = cfg.data.num_points              # 512
+    C = cfg.model.in_features            # 4
+
+    rng = np.random.default_rng(0)
+    batch_np = rng.normal(size=(G, B, N, C)).astype(np.float32)
+    batch = jnp.asarray(batch_np)
+
+    trainer = Trainer(cfg, steps_per_epoch=100)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+    epoch = jnp.asarray(0, jnp.int32)
+
+    # Warm-up (compile + 2 steps). A scalar fetch is the only reliable
+    # barrier here: block_until_ready returns early on the remote (axon)
+    # backend.
+    for _ in range(2):
+        state, metrics = trainer.step_fn(state, batch, key, epoch)
+    float(metrics["loss"])
+
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = trainer.step_fn(state, batch, key, epoch)
+    float(metrics["loss"])          # forces the whole chain
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    clips_per_sec = steps * B / dt / n_chips
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_local.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("clips_per_sec")
+
+    vs = clips_per_sec / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Feature extraction entry point — the equivalent of
+extract_{apperance,motion}_feature.py (one script + ``--stream``).
+
+Usage:
+  python -m facl_tpu.cli.extract --root <tree> --stream motion \
+      --checkpoint checkpoints/motion --out features/motion
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+from facl_tpu.cli.pretrain import add_common_args, build_config
+from facl_tpu.data import CropLoader, NTUPointDataset
+from facl_tpu.models import PointNetPlus
+from facl_tpu.train import Trainer, restore_latest
+from facl_tpu.train.extract import extract_features
+from facl_tpu.utils.logging import setup_logging
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=1)
+    args = p.parse_args(argv)
+
+    setup_logging()
+    log = logging.getLogger("extract")
+    cfg = build_config(args)
+
+    from facl_tpu.train import latest_checkpoint
+    if latest_checkpoint(args.checkpoint) is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint!r} "
+                         "(expected index.json written by pretrain)")
+
+    # Extraction runs on BOTH splits, sequentially, without shuffling
+    # (extract_apperance_feature.py:112-136,163,192).
+    for split, train in (("train", True), ("test", False)):
+        ds = NTUPointDataset(args.root, cfg.data, train=train)
+        if len(ds) == 0:
+            log.warning("empty %s split", split)
+            continue
+        loader = CropLoader(ds, min(args.batch_size, len(ds)),
+                            jax.random.PRNGKey(args.seed), shuffle=False,
+                            drop_last=False)
+        trainer = Trainer(cfg, steps_per_epoch=1)
+        sample = next(iter(loader.epoch(0)))[0]
+        state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+        restored = restore_latest(args.checkpoint, state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        feats = extract_features(trainer.model, restored.variables, cfg,
+                                 loader.epoch(0), out_dir=args.out)
+        log.info("%s split: wrote %d feature files to %s", split,
+                 len(feats), args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Offline 3DV generation entry point — the equivalent of
+generate_data/generate_NTU.py.
+
+Usage:
+  python -m facl_tpu.cli.generate --data <ntu120dataset> --out <tree>
+  python -m facl_tpu.cli.generate --synthetic 8 --out <tree>   # smoke data
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from facl_tpu.config import DatagenConfig
+from facl_tpu.utils.logging import setup_logging
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", help="NTU depth-masked root "
+                   "(<root>/<setup>/nturgb+d_depth_masked/<video>/*.png)")
+    p.add_argument("--out", required=True, help="output tree root")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic videos instead of reading NTU")
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    setup_logging()
+    log = logging.getLogger("generate")
+    cfg = DatagenConfig()
+
+    if args.synthetic:
+        from facl_tpu.data.synthetic import write_synthetic_dataset
+        names = write_synthetic_dataset(args.out, args.synthetic, args.seed)
+        log.info("wrote %d synthetic videos to %s", len(names), args.out)
+        return
+
+    if not args.data:
+        p.error("--data or --synthetic required")
+    from facl_tpu.datagen import generate_dataset
+    n = generate_dataset(args.data, args.out, cfg, seed=args.seed,
+                         limit=args.limit or None)
+    log.info("wrote %d clips to %s", n, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Contrastive pretraining entry point — the equivalent of
+cn3d_train_{motion,apperance}_GL.py (which are byte-identical except for
+data dir / branch / checkpoint name; here one script + ``--stream``).
+
+Usage:
+  python -m facl_tpu.cli.pretrain --root <generated-tree> --stream motion \
+      --epochs 100 --batch-size 64 --out checkpoints/motion
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+
+import jax
+import numpy as np
+
+from facl_tpu.config import Config
+from facl_tpu.data import CropLoader, NTUPointDataset
+from facl_tpu.train import Trainer, restore_latest, save_checkpoint
+from facl_tpu.utils.logging import setup_logging
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--root", required=True, help="generated point-cloud tree")
+    p.add_argument("--stream", choices=("motion", "appearance"),
+                   default="motion")
+    p.add_argument("--dataset", choices=("ntu60", "ntu120"), default="ntu60")
+    p.add_argument("--protocol", choices=("xsub", "xview", "xset"),
+                   default="xview")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--config", help="JSON config file overriding defaults")
+
+
+def build_config(args) -> Config:
+    cfg = Config()
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, root=args.root,
+                                 stream=args.stream, dataset=args.dataset,
+                                 protocol=args.protocol),
+        train=dataclasses.replace(cfg.train, batch_size=args.batch_size),
+    )
+    return cfg
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--out", default="checkpoints/pretrain")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    setup_logging()
+    log = logging.getLogger("pretrain")
+    cfg = build_config(args)
+
+    ds = NTUPointDataset(args.root, cfg.data, train=True)
+    steps_per_epoch = max(1, len(ds) // args.batch_size)
+    log.info("train videos=%d steps/epoch=%d devices=%s",
+             len(ds), steps_per_epoch, jax.devices())
+
+    key = jax.random.PRNGKey(args.seed)
+    loader = CropLoader(ds, args.batch_size, key)
+    trainer = Trainer(cfg, steps_per_epoch)
+
+    sample = next(iter(loader.epoch(0)))[0]
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+    start_epoch = 0
+    if args.resume:
+        restored = restore_latest(args.out, state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(state.step) // steps_per_epoch
+            log.info("resumed at epoch %d (step %d)", start_epoch,
+                     int(state.step))
+
+    for epoch in range(start_epoch, args.epochs):
+        batches = (b for b, _, _ in loader.epoch(epoch))
+        state, metrics = trainer.run_epoch(
+            state, batches, epoch, jax.random.fold_in(key, epoch),
+            log_fn=lambda m: log.info("%s", json.dumps(m)))
+        log.info("epoch %d done: %s", epoch,
+                 {k: round(v, 4) for k, v in metrics.items()})
+        if epoch % cfg.train.checkpoint_every_epochs == 0:
+            path = save_checkpoint(args.out, state, epoch)
+            log.info("checkpoint %s", path)
+    save_checkpoint(args.out, state, args.epochs - 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+from facl_tpu.data.ntu import (
+    TRAIN_CAMERAS,
+    TRAIN_IDS_60,
+    TRAIN_IDS_120,
+    TRAIN_SETUPS,
+    VideoInfo,
+    parse_name,
+    split_videos,
+    validation_split,
+)
+from facl_tpu.data.crops import ClipSources, make_crops, make_crops_batch
+from facl_tpu.data.dataset import CropLoader, NTUPointDataset
+from facl_tpu.data.synthetic import (
+    synthetic_depth_clip,
+    write_synthetic_dataset,
+)
+
+__all__ = [
+    "TRAIN_CAMERAS",
+    "TRAIN_IDS_60",
+    "TRAIN_IDS_120",
+    "TRAIN_SETUPS",
+    "VideoInfo",
+    "parse_name",
+    "split_videos",
+    "validation_split",
+    "ClipSources",
+    "make_crops",
+    "make_crops_batch",
+    "CropLoader",
+    "NTUPointDataset",
+    "synthetic_depth_clip",
+    "write_synthetic_dataset",
+]

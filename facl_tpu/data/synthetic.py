@@ -1,0 +1,75 @@
+"""Synthetic data: depth clips and generated point-cloud trees for tests,
+benchmarks, and the end-to-end smoke path (BASELINE.json config 1) without
+the (license-gated) NTU download."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from facl_tpu.config import DataConfig, DatagenConfig
+from facl_tpu.datagen import ClipGenerator
+
+
+def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
+                         shape=(424, 512), n_blobs: int = 2) -> np.ndarray:
+    """A human-ish synthetic depth sequence: moving rectangles at plausible
+    Kinect depths (mm)."""
+    H, W = shape
+    frames = np.zeros((n_frames, H, W), np.float32)
+    for b in range(n_blobs):
+        h = int(rng.integers(H // 4, H // 2))
+        w = int(rng.integers(W // 10, W // 5))
+        y0 = int(rng.integers(0, H - h))
+        x0 = int(rng.integers(0, W - w - n_frames * 4))
+        depth = float(rng.uniform(1500, 3500))
+        vx = int(rng.integers(1, 4))
+        for f in range(n_frames):
+            x = x0 + vx * f
+            frames[f, y0:y0 + h, x:x + w] = depth + 20.0 * f
+    return frames
+
+
+def synthetic_ntu_names(num: int, rng: np.random.Generator,
+                        num_actions: int = 10) -> Sequence[str]:
+    names = []
+    for i in range(num):
+        s = int(rng.integers(1, 5))
+        c = int(rng.integers(1, 4))
+        p = int(rng.integers(1, 20))
+        r = int(rng.integers(1, 3))
+        a = int(rng.integers(1, num_actions + 1))
+        names.append(f"S{s:03d}C{c:03d}P{p:03d}R{r:03d}A{a:03d}")
+    return names
+
+
+def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
+                            datagen_cfg: Optional[DatagenConfig] = None
+                            ) -> Sequence[str]:
+    """Generate a small synthetic point-cloud tree in the on-disk layout the
+    dataset/loader expect, by running the *real* datagen pipeline on
+    synthetic depth clips."""
+    rng = np.random.default_rng(seed)
+    cfg = datagen_cfg or DatagenConfig(
+        grid_shape=(48, 48, 48), image_shape=(128, 160),
+        sample_num=2048, num_appearance_frames=10,
+        voxel_size=60.0, resolutions=(60, 30, 10))
+    names = sorted(set(synthetic_ntu_names(num_videos * 2, rng)))[:num_videos]
+    for res in cfg.resolutions:
+        gen = ClipGenerator(cfg, max_frames=res, seed=seed)
+        res_dir = os.path.join(root, f"Resolution{res}")
+        for sub in ("raw", "others", "app"):
+            os.makedirs(os.path.join(res_dir, sub), exist_ok=True)
+        for i, name in enumerate(names):
+            clip_rng = np.random.default_rng(seed * 1000 + i)
+            frames = synthetic_depth_clip(
+                clip_rng, n_frames=min(16, res),
+                shape=cfg.image_shape)
+            out = gen.from_frames(frames)
+            np.save(os.path.join(res_dir, "raw", name + ".npy"), out["raw"])
+            np.save(os.path.join(res_dir, "others", name + "_key.npy"),
+                    out["key"])
+            np.save(os.path.join(res_dir, "app", name + "_app.npy"),
+                    out["app"])
+    return names

@@ -1,0 +1,128 @@
+"""Temporal rank pooling over voxel grids + density denoising.
+
+The 3DV core (generate_NTU.py:369-440): each frame is voxelized into a
+binary occupancy grid; M=5 channels accumulate occupancy weighted by rank
+coefficients — channel 0 over the whole clip, channels 1-4 over four
+half-overlapping temporal windows of 2/5 clip length. A parallel "key" grid
+accumulates the motion-located pixels with the global coefficient.
+
+TPU-native design: fixed-capacity grid (indices clamped), per-frame scatter
+via ``.at[].max`` (occupancy dedupe), rank coefficients precomputed as an
+(M, F) matrix so the frame loop is a single ``fori_loop`` with masked adds.
+The 3^3 density denoise (generate_NTU.py:277-296) is a valid-mode box
+convolution.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facl_tpu.config import DatagenConfig
+
+Array = jax.Array
+
+
+def rank_coefficients(n_frame: Array, max_frames: int,
+                      num_splits: int = 5) -> Array:
+    """(M, F_max) coefficient matrix; column f holds each channel's rank
+    weight for frame f, zero outside the channel's window or past n_frame.
+
+    Channel 0: (2f - n + 1) over all frames (generate_NTU.py:414).
+    Channel m in 1..4: windows [round(n(m-1)/5), round(n(m+1)/5)) with local
+    index idx_f and length len_f, weight (2*idx_f - len_f + 1) (:417-438).
+    """
+    f = jnp.arange(max_frames, dtype=jnp.float32)
+    n = n_frame.astype(jnp.float32)
+    in_clip = f < n
+
+    def window(lo, hi):
+        idx = f - lo
+        length = hi - lo
+        w = 2.0 * idx - length + 1.0
+        m = (f >= lo) & (f < hi) & in_clip
+        return jnp.where(m, w, 0.0)
+
+    # np.round on .5 ties rounds half-to-even; jnp.round matches numpy.
+    r = lambda x: jnp.round(x)
+    rows = [jnp.where(in_clip, 2.0 * f - n + 1.0, 0.0)]
+    for m in range(1, num_splits):
+        lo = r(n * (m - 1) / 5.0)
+        hi = r(n * (m + 1) / 5.0)
+        # Channel 4's window extends to n exactly (:435-437).
+        if m == num_splits - 1:
+            hi = n
+        rows.append(window(lo, hi))
+    return jnp.stack(rows, axis=0)
+
+
+def voxel_indices(points: Array, valid: Array, origin: Array,
+                  voxel_size: float, grid_shape: Tuple[int, int, int]
+                  ) -> Tuple[Array, Array]:
+    """Pixel points -> clamped integer voxel indices ((N,3) int32, valid)."""
+    idx = jnp.floor((points - origin[None, :]) / voxel_size).astype(jnp.int32)
+    limits = jnp.asarray(grid_shape, jnp.int32) - 1
+    in_range = jnp.all((idx >= 0) & (idx <= limits[None, :]), axis=-1)
+    idx = jnp.clip(idx, 0, limits[None, :])
+    return idx, valid & in_range
+
+
+def scatter_occupancy(idx: Array, valid: Array,
+                      grid_shape: Tuple[int, int, int]) -> Array:
+    """Binary occupancy grid from (N, 3) indices (dedupes via max)."""
+    occ = jnp.zeros(grid_shape, jnp.float32)
+    return occ.at[idx[:, 0], idx[:, 1], idx[:, 2]].max(
+        valid.astype(jnp.float32))
+
+
+def rank_pool(frames_pts: Array, frames_valid: Array, key_pts: Array,
+              key_valid: Array, n_frame: Array, origin: Array,
+              cfg: DatagenConfig) -> Tuple[Array, Array]:
+    """Accumulate the M-channel 3DV grid and the 1-channel key grid.
+
+    frames_pts: (F, P, 3) back-projected full-depth points per frame.
+    key_pts:    (F, P, 3) motion-located points per frame.
+    Returns (voxel_di (M, *grid), voxel_key (*grid)).
+    """
+    M = cfg.num_splits
+    gs = cfg.grid_shape
+    coef = rank_coefficients(n_frame, frames_pts.shape[0], M)   # (M, F)
+    coef_key = jnp.where(jnp.arange(frames_pts.shape[0]) < n_frame,
+                         2.0 * jnp.arange(frames_pts.shape[0], dtype=jnp.float32)
+                         - n_frame.astype(jnp.float32) + 1.0, 0.0)
+
+    def body(f, carry):
+        di, dk = carry
+        idx, v = voxel_indices(frames_pts[f], frames_valid[f], origin,
+                               cfg.voxel_size, gs)
+        occ = scatter_occupancy(idx, v, gs)
+        di = di + coef[:, f][:, None, None, None] * occ[None]
+        kidx, kv = voxel_indices(key_pts[f], key_valid[f], origin,
+                                 cfg.voxel_size, gs)
+        kocc = scatter_occupancy(kidx, kv, gs)
+        dk = dk + coef_key[f] * kocc
+        return di, dk
+
+    di0 = jnp.zeros((M,) + gs, jnp.float32)
+    dk0 = jnp.zeros(gs, jnp.float32)
+    return jax.lax.fori_loop(0, frames_pts.shape[0], body, (di0, dk0))
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def denoise(grid: Array, threshold: int) -> Array:
+    """3^3 neighbor-count denoise (generate_NTU.py:277-296): keep a voxel
+    only if the 27-cell occupancy count (itself included) reaches
+    ``threshold``; boundary voxels are always dropped (the reference only
+    writes counts to the interior, so borders keep occupancy <= 1 < th).
+
+    grid: (X, Y, Z).
+    """
+    occ = (grid != 0).astype(jnp.float32)
+    kernel = jnp.ones((1, 1, 3, 3, 3), jnp.float32)
+    counts = jax.lax.conv_general_dilated(
+        occ[None, None], kernel, window_strides=(1, 1, 1), padding="VALID")
+    counts = jnp.pad(counts[0, 0], 1, mode="constant")       # borders -> 0
+    keep = (counts >= threshold) & (occ > 0)
+    return jnp.where(keep, grid, 0.0)

@@ -1,0 +1,197 @@
+"""Contrastive pretraining: one fused jit step + the epoch loop.
+
+The reference's per-batch pipeline (cn3d_train_apperance_GL.py:223-333) —
+H2D copy, grouping, forward, four losses, backward, Adam, scheduler — is a
+single jit-compiled function here. Under a device mesh the batch enters
+sharded over ``dp`` and XLA handles grad psum / negative all-gather /
+cross-replica BN (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from facl_tpu.config import Config
+from facl_tpu.losses import (
+    circle_infonce,
+    cld_loss,
+    global_local_infonce,
+    swav_loss,
+    swav_queue_init,
+)
+from facl_tpu.models import PointNetPlus
+from facl_tpu.ops.grouping import group_points
+from facl_tpu.train.optim import make_optimizer
+from facl_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_train_step(model, optimizer, cfg: Config,
+                    donate: bool = True) -> Callable:
+    """Build the jit-compiled training step.
+
+    step(state, points, key, epoch) -> (state, metrics)
+      points: (G, B, N, C) crop-major batch of 10-crop clips.
+      epoch:  () int32 — drives the SwAV queue gate.
+    """
+    g_cfg = cfg.grouping
+    l_cfg = cfg.loss
+
+    def loss_fn(params, batch_stats, points, key, epoch, swav_queue):
+        G, B, N, C = points.shape
+        flat = points.reshape(G * B, N, C)
+        neigh, cent = group_points(
+            flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
+            g_cfg.method)
+        (x, code, x_nor, x_global), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            neigh, cent, train=True, mutable=["batch_stats"])
+
+        xg = x.reshape(G, B, -1)
+        metrics = {}
+        loss = jnp.zeros((), jnp.float32)
+
+        if l_cfg.use_global:
+            lc = global_local_infonce(xg, x_global)
+            metrics["loss_global"] = lc
+            loss = loss + lc
+        if l_cfg.use_circle:
+            key, sub = jax.random.split(key)
+            lcir = circle_infonce(sub, xg)
+            metrics["loss_circle"] = lcir
+            loss = loss + lcir
+
+        new_queue = swav_queue
+        if l_cfg.use_swav:
+            code_g = code.reshape(G, B, -1)
+            xn_g = x_nor.reshape(G, B, -1)
+            w = params["mapping"]["kernel"]          # (D, P)
+            queue_on = jnp.logical_and(
+                epoch >= l_cfg.swav_queue_start_epoch,
+                jnp.any(jnp.abs(swav_queue[:, -1, :]) > 0)
+            ) if swav_queue is not None else jnp.asarray(False)
+            lswa, new_queue = swav_loss(
+                code_g, xn_g, w, swav_queue, queue_on,
+                temp_code=l_cfg.swav_temp_code,
+                temp_pred=l_cfg.swav_temp_pred,
+                num_iters=l_cfg.swav_sinkhorn_iters)
+            # The queue only starts filling once epoch >= start (reference
+            # allocates it lazily at that epoch, :215-220).
+            if swav_queue is not None:
+                new_queue = jnp.where(epoch >= l_cfg.swav_queue_start_epoch,
+                                      new_queue, swav_queue)
+            metrics["loss_swav"] = lswa
+            loss = loss + l_cfg.swav_weight * lswa
+        if l_cfg.use_cld:
+            xn_g = x_nor.reshape(G, B, -1)
+            lcld = cld_loss(xn_g, temp=l_cfg.cld_temp,
+                            num_clusters=l_cfg.cld_clusters,
+                            num_iters=l_cfg.cld_kmeans_iters)
+            metrics["loss_cld"] = lcld
+            loss = loss + lcld
+
+        metrics["loss"] = loss
+        return loss, (mutated["batch_stats"], metrics, new_queue)
+
+    def train_step(state: TrainState, points: Array, key: Array,
+                   epoch: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        grads, (new_stats, metrics, new_queue) = jax.grad(
+            loss_fn, has_aux=True)(
+            state.params, state.batch_stats, points, key, epoch,
+            state.swav_queue)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1, swav_queue=new_queue)
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_args)
+
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    """Jit extraction step: points -> (x (G*B,D), x_global (B,D)) using
+    running BN stats (extract_*_feature.py:171-182)."""
+    g_cfg = cfg.grouping
+
+    def eval_step(variables, points):
+        G, B, N, C = points.shape
+        flat = points.reshape(G * B, N, C)
+        neigh, cent = group_points(
+            flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
+            g_cfg.method)
+        x, code, x_nor, x_global = model.apply(
+            variables, neigh, cent, train=False)
+        return x, x_global
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch-loop orchestration: build model/optimizer/state, run the jit
+    step over a data iterator, track throughput, checkpoint periodically."""
+
+    def __init__(self, cfg: Config, steps_per_epoch: int,
+                 mesh=None, model=None):
+        self.cfg = cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh
+        self.model = model or PointNetPlus(cfg.model)
+        self.optimizer = make_optimizer(cfg.train.optim, steps_per_epoch)
+        self.step_fn = make_train_step(self.model, self.optimizer, cfg)
+
+    def init_state(self, rng: Array, sample_points: Array) -> TrainState:
+        """sample_points: (G, B, N, C) — used for shape inference only."""
+        G, B, N, C = sample_points.shape
+        flat = sample_points.reshape(G * B, N, C)
+        neigh, cent = group_points(
+            flat, self.cfg.grouping.num_centroids, self.cfg.grouping.knn_k,
+            self.cfg.grouping.radius_sq, self.cfg.grouping.method)
+        variables = self.model.init(rng, neigh, cent, train=False)
+        queue = None
+        if self.cfg.loss.use_swav:
+            queue = swav_queue_init(
+                self.cfg.model.num_crops,
+                self.cfg.train.batch_size * self.cfg.loss.swav_queue_factor,
+                self.cfg.model.embed_dim)
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+            swav_queue=queue,
+        )
+
+    def run_epoch(self, state: TrainState, batches: Iterable[Array],
+                  epoch: int, rng: Array,
+                  log_fn: Optional[Callable[[Dict], None]] = None):
+        """Run one epoch; returns (state, mean-metrics dict)."""
+        totals: Dict[str, float] = {}
+        count = 0
+        clips = 0
+        t0 = time.perf_counter()
+        epoch_arr = jnp.asarray(epoch, jnp.int32)
+        for i, points in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.step_fn(state, points, sub, epoch_arr)
+            count += 1
+            clips += points.shape[1]
+            if log_fn is not None and (i % self.cfg.train.log_every_steps == 0):
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=int(state.step), epoch=epoch)
+                log_fn(m)
+            totals = {k: totals.get(k, 0.0) + float(v)
+                      for k, v in metrics.items()}
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        mean = {k: v / max(count, 1) for k, v in totals.items()}
+        mean["clips_per_sec"] = clips / dt if dt > 0 else 0.0
+        return state, mean

@@ -1,0 +1,177 @@
+"""Datagen tests: rank-pool coefficients, denoise, voxel->point sampling,
+masking, and the end-to-end clip pipeline on a synthetic depth sequence."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facl_tpu.config import DatagenConfig
+from facl_tpu.datagen import (
+    ClipGenerator,
+    compact_nonzero,
+    denoise,
+    generate_clip,
+    locate_motion,
+    mask_depth,
+    rank_coefficients,
+    voxels_to_points,
+)
+
+
+def oracle_rank_coeffs(n, F, M=5):
+    """Loop transcription of generate_NTU.py:411-438."""
+    c = np.zeros((M, F))
+    for f in range(min(n, F)):
+        c[0, f] = 2 * f - n + 1
+        if f < round(n * 2 / 5):
+            ln = round(n * 2 / 5)
+            c[1, f] = 2 * f - ln + 1
+        if round(n * 1 / 5) <= f < round(n * 3 / 5):
+            idx = f - round(n * 1 / 5)
+            ln = round(n * 3 / 5) - round(n * 1 / 5)
+            c[2, f] = 2 * idx - ln + 1
+        if round(n * 2 / 5) <= f < round(n * 4 / 5):
+            idx = f - round(n * 2 / 5)
+            ln = round(n * 4 / 5) - round(n * 2 / 5)
+            c[3, f] = 2 * idx - ln + 1
+        if f >= round(n * 3 / 5):
+            idx = f - round(n * 3 / 5)
+            ln = n - round(n * 3 / 5)
+            c[4, f] = 2 * idx - ln + 1
+    return c
+
+
+@pytest.mark.parametrize("n", [3, 10, 17, 60])
+def test_rank_coefficients_match_oracle(n):
+    got = np.asarray(rank_coefficients(jnp.asarray(n), 60, 5))
+    exp = oracle_rank_coeffs(n, 60)
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_denoise_drops_sparse_keeps_dense():
+    g = np.zeros((9, 9, 9), np.float32)
+    g[4, 4, 4] = 3.0          # isolated voxel: 27-count = 1 -> dropped
+    g[1:4, 1:4, 1:4] = 2.0    # solid 3^3 block: center has count 27
+    out = np.asarray(denoise(jnp.asarray(g), 5))
+    assert out[4, 4, 4] == 0.0
+    assert out[2, 2, 2] == 2.0
+    # Block corner (1,1,1): count = 8 >= 5 -> kept.
+    assert out[1, 1, 1] == 2.0
+    # Border voxels always dropped.
+    g2 = np.ones((5, 5, 5), np.float32)
+    out2 = np.asarray(denoise(jnp.asarray(g2), 5))
+    assert out2[0].sum() == 0 and out2[:, 0].sum() == 0
+
+
+def test_compact_nonzero():
+    m = jnp.asarray(np.array([0, 1, 0, 0, 1, 1, 0], np.bool_))
+    ids, n = compact_nonzero(m)
+    assert int(n) == 3
+    np.testing.assert_array_equal(np.asarray(ids[:3]), [1, 4, 5])
+
+
+def test_voxels_to_points_keep_all_branch(rng):
+    di = np.zeros((2, 4, 4, 4), np.float32)
+    # 5 nonzero voxels (one only in channel 1: "any channel" rule).
+    vox = [(0, 1, 2), (1, 1, 1), (2, 3, 0), (3, 3, 3), (2, 2, 2)]
+    for i, (x, y, z) in enumerate(vox):
+        ch = 1 if i == 4 else 0
+        di[ch, x, y, z] = i + 1.0
+    pts, n_valid = voxels_to_points(jax.random.PRNGKey(0), jnp.asarray(di), 16)
+    assert int(n_valid) == 5
+    got = np.asarray(pts)
+    assert got.shape == (16, 5)
+    coords = {tuple(map(int, r[:3])) for r in got}
+    assert coords == set(vox)       # every valid voxel present (keep-all)
+    # Motion features read from the full channel stack.
+    for r in got:
+        x, y, z = map(int, r[:3])
+        np.testing.assert_allclose(r[3:], di[:, x, y, z])
+
+
+def test_voxels_to_points_select_mask(rng):
+    di = np.zeros((1, 4, 4, 4), np.float32)
+    di[0, 1, 1, 1] = 5.0
+    di[0, 2, 2, 2] = 7.0
+    mask = np.zeros((4, 4, 4), bool)
+    mask[2, 2, 2] = True
+    pts, n = voxels_to_points(jax.random.PRNGKey(0), jnp.asarray(di), 8,
+                              select_mask=jnp.asarray(mask))
+    assert int(n) == 1
+    got = np.asarray(pts)
+    assert (got[:, :3] == [2, 2, 2]).all() and (got[:, 3] == 7.0).all()
+
+
+def test_mask_depth_boundary():
+    H, W = 64, 64
+    d = np.zeros((H, W), np.float32)
+    d[10:60, 10:50] = 1000.0
+    out = np.asarray(mask_depth(jnp.asarray(d), (5, 3, 2, 2)))
+    nz = np.nonzero(out)
+    # Top seg[0]=5 rows zeroed (no effect here; body starts at 10), rows >=
+    # last(59) - 3 = 56 zeroed, cols < 10+2 and >= 49-2 zeroed.
+    assert nz[0].min() == 10 and nz[0].max() == 55
+    assert nz[1].min() == 12 and nz[1].max() == 46
+
+
+def test_locate_motion_band():
+    prev = jnp.full((4, 4), 1000.0)
+    cur = jnp.asarray(np.array(
+        [[1000., 1060., 1400., 1240.],
+         [1049., 1051., 999., 700.],
+         [1000., 1000., 1000., 1000.],
+         [1000., 1000., 1000., 1000.]], np.float32))
+    out = np.asarray(locate_motion(prev, cur))
+    assert out[0, 1] == 1060.0      # |60| in (50, 300)
+    assert out[0, 2] == 0.0         # 400 too big
+    assert out[0, 3] == 1240.0
+    assert out[1, 0] == 0.0         # 49 too small
+    assert out[1, 1] == 1051.0
+    assert out[1, 3] == 0.0         # 300 not < 300
+
+
+def small_cfg():
+    return DatagenConfig(grid_shape=(24, 24, 24), image_shape=(48, 64),
+                         sample_num=256, max_frames=8,
+                         num_appearance_frames=4, boundary_seg=(2, 1, 1, 1),
+                         voxel_size=60.0)
+
+
+def synthetic_frames(F=8, H=48, W=64):
+    """A blob moving across the image with depth ~ 1000."""
+    frames = np.zeros((F, H, W), np.float32)
+    for f in range(F):
+        x0 = 8 + 3 * f
+        frames[f, 12:36, x0:x0 + 16] = 900.0 + 10.0 * f
+    return frames
+
+
+def test_generate_clip_end_to_end():
+    cfg = small_cfg()
+    frames = synthetic_frames()
+    out = generate_clip(jax.random.PRNGKey(0), jnp.asarray(frames),
+                        jnp.asarray(8, jnp.int32), cfg, 8)
+    raw = np.asarray(out["raw"])
+    keyp = np.asarray(out["key"])
+    app = np.asarray(out["app"])
+    assert raw.shape == (256, 3 + 5)
+    assert keyp.shape == (256, 3 + 5)
+    assert app.shape == (4, 256, 4)
+    assert int(out["n_raw"]) > 0
+    assert np.isfinite(raw).all() and np.isfinite(app).all()
+    # Normalization invariants: y spans exactly 1 on the raw cloud, motion
+    # channels within [-0.5, 0.5].
+    y = raw[:, 1]
+    np.testing.assert_allclose(y.max() - y.min(), 1.0, atol=1e-5)
+    assert raw[:, 3:].min() >= -0.5 - 1e-5
+    assert raw[:, 3:].max() <= 0.5 + 1e-5
+    # Key voxels are a subset of raw-grid voxels and share its motion values.
+    assert np.abs(keyp[:, 3:]).max() <= 0.5 + 1e-5
+
+
+def test_clip_generator_frame_cap():
+    cfg = small_cfg()
+    gen = ClipGenerator(cfg, max_frames=4, seed=0)
+    out = gen.from_frames(synthetic_frames(F=12))
+    assert out["raw"].shape == (256, 8)
+    assert out["app"].shape == (4, 256, 4)
