@@ -95,6 +95,8 @@ class NTUPointDataset:
 
     def load_batch(self, idxs: Sequence[int]) -> Tuple[ClipSources,
                                                        np.ndarray, List[str]]:
+        if self._use_native():
+            return self._load_batch_native(idxs)
         srcs, labels, names = [], [], []
         for i in idxs:
             s, l, n = self.load_sources(i)
@@ -103,6 +105,56 @@ class NTUPointDataset:
             names.append(n)
         stacked = ClipSources(*(np.stack(f) for f in zip(*srcs)))
         return stacked, np.asarray(labels, np.int32), names
+
+    # ---- native (C++) parallel batch loading -------------------------
+
+    def _use_native(self) -> bool:
+        from facl_tpu.data import native
+        return native.native_available()
+
+    def _load_batch_native(self, idxs: Sequence[int]
+                           ) -> Tuple[ClipSources, np.ndarray, List[str]]:
+        """One parallel native load for all 5 source files of every video
+        in the batch (native/npy_loader.cc), replacing B*5 GIL-bound
+        np.load calls."""
+        from facl_tpu.data import native
+        vids = [self.indices[i] for i in idxs]
+        names = [self.names[v] for v in vids]
+        labels = np.asarray([self.infos[v].label for v in vids], np.int32)
+
+        path_lists = [self._paths(n) for n in names]   # B x 5
+        flat_paths = [p for plist in path_lists for p in plist]
+        buf, shapes = native.load_batch(flat_paths, self._max_elems(),
+                                        num_threads=4)
+
+        def take(j: int) -> np.ndarray:
+            arrs = []
+            for b in range(len(names)):
+                shape = shapes[b * 5 + j]
+                n = int(np.prod(shape))
+                a = buf[b * 5 + j, :n].reshape(shape)
+                if a.ndim == 3:            # appearance (A, S, 4) -> pool
+                    a = a.reshape(-1, a.shape[-1])
+                arrs.append(a)
+            return np.stack(arrs)
+
+        stacked = ClipSources(points=take(0), key_points=take(1),
+                              temporal_source=take(2), res30=take(3),
+                              res10=take(4))
+        return stacked, labels, names
+
+    def _max_elems(self) -> int:
+        if not hasattr(self, "_max_elems_cache"):
+            # Probe one of each file kind and take the max footprint.
+            paths = self._paths(self.names[self.indices[0]])
+            elems = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, _ = np.lib.format._read_array_header(f, version)
+                elems.append(int(np.prod(shape)))
+            self._max_elems_cache = max(elems)
+        return self._max_elems_cache
 
 
 class CropLoader:
