@@ -31,7 +31,14 @@ def main() -> None:
     from facl_tpu.config import Config
     from facl_tpu.train import Trainer
 
+    import dataclasses
+
     cfg = Config()
+    # Production TPU training config: bf16 compute in the encoder (params
+    # and losses stay f32). BENCH_DTYPE=float32 measures strict-parity mode.
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                compute_dtype=dtype))
     G = cfg.model.num_crops              # 10
     B = cfg.train.batch_size             # 64
     N = cfg.data.num_points              # 512

@@ -31,6 +31,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--protocol", choices=("xsub", "xview", "xset"),
                    default="xview")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16",
+                   help="encoder compute dtype; bfloat16 is the production "
+                        "TPU config (~1.6x faster), float32 is strict "
+                        "reference parity")
     p.add_argument("--config", help="JSON config file overriding defaults")
 
 
@@ -45,6 +50,9 @@ def build_config(args) -> Config:
                                  protocol=args.protocol),
         train=dataclasses.replace(cfg.train, batch_size=args.batch_size),
     )
+    if getattr(args, "dtype", None):
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype))
     return cfg
 
 

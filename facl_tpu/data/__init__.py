@@ -8,8 +8,10 @@ from facl_tpu.data.ntu import (
     split_videos,
     validation_split,
 )
-from facl_tpu.data.crops import ClipSources, make_crops, make_crops_batch
+from facl_tpu.data.crops import (ClipSources, make_crops, make_crops_batch,
+                                 make_simclr_crops, random_augment)
 from facl_tpu.data.dataset import CropLoader, NTUPointDataset
+from facl_tpu.data.pku_mmd import PKUMMDFeatures, parse_pku_name
 from facl_tpu.data.synthetic import (
     synthetic_depth_clip,
     write_synthetic_dataset,
@@ -27,6 +29,10 @@ __all__ = [
     "ClipSources",
     "make_crops",
     "make_crops_batch",
+    "make_simclr_crops",
+    "random_augment",
+    "PKUMMDFeatures",
+    "parse_pku_name",
     "CropLoader",
     "NTUPointDataset",
     "synthetic_depth_clip",

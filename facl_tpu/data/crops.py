@@ -93,6 +93,57 @@ def make_crops(key: Array, src: ClipSources, num_points: int = 512,
     return jnp.stack([raw, rev, ke1, ke2, ro1, ro2, ti1, ti2, rs1, rs2])
 
 
+@partial(jax.jit, static_argnames=("jitter_sigma", "jitter_clip"))
+def random_augment(key: Array, points: Array, jitter_sigma: float = 0.01,
+                   jitter_clip: float = 0.05) -> Array:
+    """The legacy SimCLR-style random augmentation
+    (``get_random_augment``, cn3d_data_load.py:156-168): fixed-grid y
+    rotation with angle_set ~ U[-1.5, 1.5], xyz scale ~ U[0.6, 1.4], 50%
+    x-mirror(+jitter), then jitter. points: (B, N, C)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    B = points.shape[0]
+    angle_set = jax.random.uniform(k1, (B,), minval=-1.5, maxval=1.5)
+    R = _rot_y_batch(angle_set * jnp.pi * 0.25)
+    out = points.at[..., :3].set(
+        jnp.einsum("bnd,bde->bne", points[..., :3], R, precision=_HI))
+    scale = jax.random.uniform(k2, (B, 1, 1), minval=0.6, maxval=1.4)
+    out = out.at[..., :3].multiply(scale)
+    mirrored = T.reverse_transform(k3, out, jitter_sigma, jitter_clip)
+    flip = jax.random.bernoulli(k5, 0.5)
+    out = jnp.where(flip, mirrored, out)
+    return T.jitter(k4, out, jitter_sigma, jitter_clip)
+
+
+def _rot_y_batch(angle: Array) -> Array:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    z, o = jnp.zeros_like(c), jnp.ones_like(c)
+    return jnp.stack([jnp.stack([c, z, s], -1),
+                      jnp.stack([z, o, z], -1),
+                      jnp.stack([-s, z, c], -1)], axis=-2)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("num_points",))
+def make_simclr_crops(key: Array, src: ClipSources,
+                      num_points: int = 512) -> Array:
+    """Two-view SimCLR crop factory (``deal_data_simclr``,
+    cn3d_data_load.py:42-78): pick two of the four base views {raw, key,
+    ti1, ti2} at random (with replacement) and independently
+    random-augment each. Returns (2, num_points, 4) for one video."""
+    ks = jax.random.split(key, 8)
+    raw = T.resample(ks[0], src.points[:, :4], num_points)
+    keyp = T.resample(ks[1], src.key_points[:, :4], num_points)
+    ti1 = T.temporal_channel_view(ks[2], src.temporal_source, 4, num_points)
+    ti2 = T.temporal_channel_view(ks[3], src.temporal_source, 7, num_points)
+    base = jnp.stack([raw, keyp, ti1, ti2])               # (4, N, 4)
+    pick = jax.random.randint(ks[4], (2,), 0, 4)
+    v1 = random_augment(ks[5], base[pick[0]][None])[0]
+    v2 = random_augment(ks[6], base[pick[1]][None])[0]
+    return jnp.stack([v1, v2])
+
+
 def make_crops_batch(key: Array, srcs: ClipSources,
                      cfg: DataConfig) -> Array:
     """Batched crop factory: each ClipSources field carries a leading batch

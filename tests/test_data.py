@@ -127,3 +127,32 @@ def test_dataset_appearance_stream(synth_root):
     crops = make_crops(jax.random.PRNGKey(0), ClipSources(
         *(jnp.asarray(f) for f in src)), num_points=64)
     assert crops.shape == (10, 64, 4)
+
+
+def test_simclr_crops_and_random_augment(rng):
+    from facl_tpu.data import make_simclr_crops, random_augment
+    src = _sources(rng)
+    out = make_simclr_crops(jax.random.PRNGKey(0), src, num_points=64)
+    assert out.shape == (2, 64, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # random_augment: scale in [0.6,1.4] + rotation + jitter keeps y scaled.
+    p = jnp.asarray(rng.normal(size=(2, 32, 4)).astype(np.float32))
+    a = random_augment(jax.random.PRNGKey(1), p)
+    assert a.shape == p.shape
+    np.testing.assert_array_equal(np.asarray(a[..., 3]), np.asarray(p[..., 3]))
+
+
+def test_pku_mmd_dataset(tmp_path, rng):
+    from facl_tpu.data import PKUMMDFeatures, parse_pku_name
+    # Camera letter sits at index 7 (dataset_of_lin.py:266).
+    names = ["0291-01R_A05.npy", "0292-02L_A07.npy", "0293-03M_A05.npy",
+             "0294-04L_A03.npy"]
+    for n in names:
+        np.save(tmp_path / n, rng.normal(size=(8,)).astype(np.float32))
+    v = parse_pku_name("0291-01R_A05.npy")
+    assert v.camera == "R" and v.action == 5 and v.label == 4
+    train = PKUMMDFeatures(str(tmp_path), train=True)
+    test = PKUMMDFeatures(str(tmp_path), train=False)
+    assert len(train) == 2 and len(test) == 2
+    f, l = train.load_all()
+    assert f.shape == (2, 8) and set(l.tolist()) == {4}
