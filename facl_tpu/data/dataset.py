@@ -41,7 +41,11 @@ class NTUPointDataset:
     """Index of generated clips + per-batch source loading."""
 
     def __init__(self, root: str, cfg: DataConfig, train: bool = True,
-                 protocol: Optional[str] = None):
+                 protocol: Optional[str] = None, split: Optional[str] = None):
+        """``split`` overrides ``train`` when given: one of "train",
+        "test", "validation", "train_with_validation" — the four splits the
+        reference's full_train/validation/test flags select
+        (cn3D_data_set.py:73-92)."""
         self.root = root
         self.cfg = cfg
         self.stream = cfg.stream
@@ -53,9 +57,15 @@ class NTUPointDataset:
                      and parse_name(n).setup <= 17]
         self.infos: List[VideoInfo] = [parse_name(n) for n in names]
         self.names = names
-        tr, te = split_videos(self.infos, protocol or cfg.protocol,
-                              cfg.dataset)
-        self.indices = tr if train else te
+        split = split or ("train" if train else "test")
+        if split in ("validation", "train_with_validation"):
+            from facl_tpu.data.ntu import validation_split
+            twv, val = validation_split(self.infos)
+            self.indices = twv if split == "train_with_validation" else val
+        else:
+            tr, te = split_videos(self.infos, protocol or cfg.protocol,
+                                  cfg.dataset)
+            self.indices = tr if split == "train" else te
 
     def __len__(self) -> int:
         return len(self.indices)

@@ -156,3 +156,12 @@ def test_pku_mmd_dataset(tmp_path, rng):
     assert len(train) == 2 and len(test) == 2
     f, l = train.load_all()
     assert f.shape == (2, 8) and set(l.tolist()) == {4}
+
+
+def test_validation_splits(synth_root):
+    root, names = synth_root
+    cfg = DataConfig(dataset="ntu60", protocol="xview", num_points=64)
+    tv = NTUPointDataset(root, cfg, split="train_with_validation")
+    va = NTUPointDataset(root, cfg, split="validation")
+    # Disjoint and drawn from the performer tables.
+    assert set(tv.indices).isdisjoint(va.indices)

@@ -1,0 +1,59 @@
+"""MoCo scaffold tests (cn3d_model_conbag.py:429-570 semantics)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facl_tpu.models import moco
+
+
+def _apply_fn(params, x):
+    return x @ params["w"]
+
+
+def _params(rng, d_in=6, d_out=4):
+    return {"w": jnp.asarray(rng.normal(size=(d_in, d_out)).astype(np.float32))}
+
+
+def test_init_and_momentum_update(rng):
+    p = _params(rng)
+    st = moco.init_moco_state(p, dim=4, queue_len=12)
+    norms = np.linalg.norm(np.asarray(st.queue), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    q2 = {"w": p["w"] + 1.0}
+    upd = moco.momentum_update(q2, st.key_params, m=0.9)
+    np.testing.assert_allclose(np.asarray(upd["w"]),
+                               np.asarray(p["w"]) * 0.9 +
+                               np.asarray(q2["w"]) * 0.1, rtol=1e-5)
+
+
+def test_enqueue_ring(rng):
+    p = _params(rng)
+    st = moco.init_moco_state(p, dim=4, queue_len=8)
+    keys = jnp.arange(4 * 4, dtype=jnp.float32).reshape(4, 4)
+    st = moco.enqueue(st, keys)
+    np.testing.assert_allclose(np.asarray(st.queue[:4]), np.asarray(keys))
+    assert int(st.queue_ptr) == 4
+    st = moco.enqueue(st, keys + 100)
+    assert int(st.queue_ptr) == 0          # wrapped
+    np.testing.assert_allclose(np.asarray(st.queue[4:]),
+                               np.asarray(keys) + 100)
+
+
+def test_moco_step_logits_and_state(rng):
+    p = _params(rng)
+    st = moco.init_moco_state(p, dim=4, queue_len=8,
+                              rng=jax.random.PRNGKey(1))
+    xq = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    xk = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    logits, labels, st2 = moco.moco_step(
+        _apply_fn, p, st, (xq,), (xk,), m=0.9, temperature=1.0)
+    assert logits.shape == (4, 1 + 8)
+    np.testing.assert_array_equal(np.asarray(labels), 0)
+    # Positive logit = q . k with the *momentum-updated* key encoder.
+    new_k = moco.momentum_update(p, st.key_params, 0.9)
+    q = np.asarray(_apply_fn(p, xq))
+    k = np.asarray(_apply_fn(new_k, xk))
+    np.testing.assert_allclose(np.asarray(logits[:, 0]),
+                               np.sum(q * k, axis=1), rtol=1e-4)
+    # Fresh keys enqueued.
+    np.testing.assert_allclose(np.asarray(st2.queue[:4]), k, rtol=1e-5)
