@@ -49,6 +49,12 @@ class ModelConfig:
     fast_widths1: Tuple[int, ...] = (64, 128, 256)
     fast_widths3: Tuple[int, ...] = (256, 512, 1024)
     compute_dtype: str = "float32"  # "bfloat16" for speed; params stay f32
+    # SA-stage implementation. "reference" (default) = the XLA path;
+    # "pallas" opts into the fused sweep kernels (ops/pallas/sa_kernel.py)
+    # — correct (golden-tested) and ~2x faster in isolation at f32, but
+    # currently slower inside the full jit step (the custom calls break
+    # XLA's fusion islands); kept opt-in pending scheduling work.
+    sa_impl: str = "reference"
 
 
 @dataclass(frozen=True)

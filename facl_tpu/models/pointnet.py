@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from facl_tpu.config import ModelConfig
 from facl_tpu.models.layers import EmbedHead, PointMLP, l2_normalize
+from facl_tpu.models.sa_stage import SetAbstractionStage
 
 Array = jax.Array
 
@@ -41,8 +42,9 @@ class PointNetPlus(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        self.sa_mlp = PointMLP(self.cfg.sa_widths,
-                               bn_momentum=self.cfg.bn_momentum, dtype=dtype)
+        self.sa_stage = SetAbstractionStage(
+            self.cfg.sa_widths, bn_momentum=self.cfg.bn_momentum,
+            dtype=dtype, impl=self.cfg.sa_impl)
         self.stage2_mlp = PointMLP(self.cfg.stage2_widths,
                                    bn_momentum=self.cfg.bn_momentum, dtype=dtype)
         self.head = EmbedHead(self.cfg.fc_hidden, self.cfg.embed_dim,
@@ -64,8 +66,7 @@ class PointNetPlus(nn.Module):
         B = GB // G
 
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        h = self.sa_mlp(neighborhoods.astype(dtype), train=train)  # (GB,S,K,256)
-        h = jnp.max(h, axis=2)                                     # (GB,S,256)
+        h = self.sa_stage(neighborhoods.astype(dtype), train=train)  # (GB,S,256)
         h = jnp.concatenate([centers.astype(dtype), h], axis=-1)   # (GB,S,259)
         local_feat = self.stage2_mlp(h, train=train)               # (GB,S,1024)
 

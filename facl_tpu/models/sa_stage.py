@@ -1,0 +1,117 @@
+"""Set-abstraction stage module: [Dense->BN->ReLU]xL + max over neighbors.
+
+Owns its parameters directly (so checkpoints are identical whichever
+compute path runs) and dispatches between:
+  * the pure-JAX reference math (facl_tpu.ops.fused_sa.sa_train_reference)
+    — used on CPU/GPU, in eval mode, and as the parity baseline;
+  * the fused Pallas kernels (sa_train_fused) on TPU in train mode — same
+    semantics, ~none of the HBM intermediate traffic.
+
+Multi-chip note: the fused kernels are single-device programs; under a
+GSPMD-sharded batch use ``impl='reference'`` (XLA partitions it and keeps
+BN statistics global) or wrap the call in shard_map. Single-chip training
+(the benchmarked config) uses the fused path.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from facl_tpu.ops.fused_sa import (
+    SALayerParams,
+    sa_eval_reference,
+    sa_train_fused,
+    sa_train_reference,
+)
+
+Array = jax.Array
+
+
+class SetAbstractionStage(nn.Module):
+    widths: Sequence[int]
+    bn_momentum: float = 0.9
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-5
+    impl: str = "auto"           # auto | reference | pallas
+    # The contrastive training step never differentiates w.r.t. the grouped
+    # points (they are data); skipping dX saves a full-tensor write.
+    input_grad: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        """x: (..., K, C) — pooling runs over the second-to-last axis.
+        Returns (..., C_last)."""
+        *lead, K, C = x.shape
+        cin = C
+        layers = []
+        running = []
+        for i, w in enumerate(self.widths):
+            kernel = self.param(f"kernel_{i}", nn.initializers.lecun_normal(),
+                                (cin, w))
+            bias = self.param(f"bias_{i}", nn.initializers.zeros, (w,))
+            scale = self.param(f"scale_{i}", nn.initializers.ones, (w,))
+            shift = self.param(f"shift_{i}", nn.initializers.zeros, (w,))
+            layers.append(SALayerParams(kernel, bias, scale, shift))
+            mean = self.variable("batch_stats", f"mean_{i}",
+                                 lambda: jnp.zeros((w,), jnp.float32))
+            var = self.variable("batch_stats", f"var_{i}",
+                                lambda: jnp.ones((w,), jnp.float32))
+            running.append((mean, var))
+            cin = w
+        layers = tuple(layers)
+
+        rows = 1
+        for d in lead:
+            rows *= d
+
+        if train:
+            # "auto" currently resolves to the reference path: the fused
+            # kernels beat XLA in isolation but lose inside the full
+            # training jit (fusion-island breakage) — see ModelConfig.
+            use_pallas = self.impl == "pallas"
+            if use_pallas:
+                flat = x.reshape(rows * K, C)
+                pooled, stats = sa_train_fused(
+                    flat, layers, K, self.epsilon, self.dtype, False,
+                    self.input_grad)
+                pooled = pooled.reshape(*lead, self.widths[-1])
+            else:
+                pooled, stats = self._reference_4d(x, layers, train=True)
+            if not self.is_initializing():
+                m = self.bn_momentum
+                for (mean_v, var_v), (mean, var) in zip(running, stats):
+                    mean_v.value = m * mean_v.value + (1 - m) * mean
+                    var_v.value = m * var_v.value + (1 - m) * var
+        else:
+            pooled, _ = self._reference_4d(
+                x, layers, train=False,
+                running=[(mv.value, vv.value) for mv, vv in running])
+        return pooled.astype(self.dtype)
+
+    def _reference_4d(self, x: Array, layers, train: bool, running=None):
+        """Reference path on the native (..., K, C) layout — the exact op
+        sequence flax Dense+BatchNorm+ReLU used (reductions over all
+        non-channel axes, normalization via promoted arithmetic), which XLA
+        fuses well. Mathematically identical to
+        facl_tpu.ops.fused_sa.sa_train_reference."""
+        h = x.astype(self.dtype)
+        axes = tuple(range(h.ndim - 1))
+        stats = []
+        for i, lp in enumerate(layers):
+            p = h @ lp.kernel.astype(self.dtype) + lp.bias.astype(self.dtype)
+            if train:
+                pf32 = p.astype(jnp.float32)
+                mean = jnp.mean(pf32, axis=axes)
+                mean2 = jnp.mean(jnp.square(pf32), axis=axes)
+                var = mean2 - jnp.square(mean)
+                stats.append((mean, var))
+            else:
+                mean, var = running[i]
+            mul = jax.lax.rsqrt(var + self.epsilon) * lp.scale
+            y = ((p - mean) * mul + lp.shift).astype(self.dtype)
+            h = jax.nn.relu(y)
+        pooled = jnp.max(h, axis=-2)
+        return pooled, stats

@@ -43,12 +43,16 @@ def make_train_step(model, optimizer, cfg: Config,
     g_cfg = cfg.grouping
     l_cfg = cfg.loss
 
+    # The Pallas gather kernel is a single-device program; under a
+    # multi-device GSPMD mesh fall back to the XLA gather, which partitions.
+    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+
     def loss_fn(params, batch_stats, points, key, epoch, swav_queue):
         G, B, N, C = points.shape
         flat = points.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method)
+            g_cfg.method, gather_impl)
         (x, code, x_nor, x_global), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             neigh, cent, train=True, mutable=["batch_stats"])
@@ -122,12 +126,14 @@ def make_eval_step(model, cfg: Config) -> Callable:
     running BN stats (extract_*_feature.py:171-182)."""
     g_cfg = cfg.grouping
 
+    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+
     def eval_step(variables, points):
         G, B, N, C = points.shape
         flat = points.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method)
+            g_cfg.method, gather_impl)
         x, code, x_nor, x_global = model.apply(
             variables, neigh, cent, train=False)
         return x, x_global
