@@ -35,12 +35,14 @@ def main() -> None:
 
     cfg = Config()
     # Production TPU training config: bf16 compute in the encoder (params
-    # and losses stay f32). BENCH_DTYPE=float32 measures strict-parity mode.
+    # and losses stay f32). BENCH_DTYPE=float32 measures strict-parity
+    # mode; BENCH_BATCH scales the per-step videos (BASELINE config 4's
+    # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype))
     G = cfg.model.num_crops              # 10
-    B = cfg.train.batch_size             # 64
+    B = int(os.environ.get("BENCH_BATCH", cfg.train.batch_size))  # 64
     N = cfg.data.num_points              # 512
     C = cfg.model.in_features            # 4
 
@@ -61,11 +63,13 @@ def main() -> None:
     float(metrics["loss"])
 
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = trainer.step_fn(state, batch, key, epoch)
-    float(metrics["loss"])          # forces the whole chain
-    dt = time.perf_counter() - t0
+    from facl_tpu.utils.profiling import trace
+    with trace(os.environ.get("BENCH_PROFILE")):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = trainer.step_fn(state, batch, key, epoch)
+        float(metrics["loss"])      # forces the whole chain
+        dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
     clips_per_sec = steps * B / dt / n_chips

@@ -14,7 +14,6 @@ import jax
 
 from facl_tpu.cli.pretrain import add_common_args, build_config
 from facl_tpu.data import CropLoader, NTUPointDataset
-from facl_tpu.models import PointNetPlus
 from facl_tpu.train import Trainer, restore_latest
 from facl_tpu.train.extract import extract_features
 from facl_tpu.utils.logging import setup_logging

@@ -14,7 +14,6 @@ Re-derivation of generate_NTU.py:196-260 with static shapes:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -13,8 +13,6 @@ it exists for the legacy/aux paths (``fps_sample_data``) and as a public op.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

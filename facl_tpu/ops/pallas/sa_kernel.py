@@ -22,8 +22,7 @@ gradient is split evenly among all elements equal to the max.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,7 @@ cross-replica BN (SURVEY §5.8).
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
