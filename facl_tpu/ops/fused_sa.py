@@ -103,8 +103,8 @@ def sa_train_fused(
     w.r.t. x and every layer parameter; the (mean, var) stats output is a
     non-differentiable aux (stop-gradient), matching flax BN's treatment
     of running statistics."""
-    from facl_tpu.ops.pallas.sa_kernel import sa_train_forward_pallas
-    pooled, stats, _ = sa_train_forward_pallas(
+    from facl_tpu.ops.pallas.sa_kernel import sa_train_forward_unified
+    pooled, stats, _ = sa_train_forward_unified(
         x, layers, pool_size, eps, compute_dtype, interpret)
     return pooled, stats
 
@@ -113,18 +113,18 @@ def _sa_fused_fwd(x, layers, pool_size, eps, compute_dtype, interpret,
                   need_dx):
     # jax >= 0.9: fwd receives the primal's original signature (nondiff
     # args in place); bwd receives the nondiff args first.
-    from facl_tpu.ops.pallas.sa_kernel import sa_train_forward_pallas
-    pooled, stats, packed = sa_train_forward_pallas(
+    from facl_tpu.ops.pallas.sa_kernel import sa_train_forward_unified
+    pooled, stats, packed = sa_train_forward_unified(
         x, layers, pool_size, eps, compute_dtype, interpret)
     return (pooled, stats), (x, layers, packed)
 
 
 def _sa_fused_bwd(pool_size, eps, compute_dtype, interpret, need_dx, res,
                   cts):
-    from facl_tpu.ops.pallas.sa_kernel import sa_train_backward_pallas
+    from facl_tpu.ops.pallas.sa_kernel import sa_train_backward_unified
     x, layers, packed = res
     dpooled, _ = cts                     # stats cotangent ignored (aux)
-    dx, grads = sa_train_backward_pallas(
+    dx, grads = sa_train_backward_unified(
         x, layers, packed, dpooled, pool_size, eps, compute_dtype,
         interpret, need_dx)
     if dx is None:

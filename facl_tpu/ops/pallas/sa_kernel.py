@@ -163,6 +163,126 @@ def _pick_tile(R: int, pool: int, cmax: int) -> int:
     return max(tile, pool)
 
 
+# ---------------------------------------------------------------------------
+# Single-call variants: the whole forward (or backward) as ONE pallas_call
+# with a phase-major grid. The TPU grid executes sequentially per core, so
+# VMEM scratch carries the per-layer statistics across phases and each
+# phase's global reduction is finalized at the first tile of the next
+# phase. Two custom calls per SA stage instead of eight — minimal
+# disruption to XLA's fusion islands.
+# ---------------------------------------------------------------------------
+
+
+def _make_unified_fwd_kernel(L, pool, eps, dtype, rows, widths, cmax):
+    def kernel(*args):
+        x_ref = args[0]
+        refs = _param_refs(args[1:1 + 4 * L], L)
+        pooled_ref = args[1 + 4 * L]
+        stats_out = args[2 + 4 * L]              # (L, 3, cmax): mean/inv/var
+        stats_s = args[3 + 4 * L]                # scratch (L, 2, cmax)
+        sums_s = args[4 + 4 * L]                 # scratch (L, 2, cmax)
+
+        p = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        @pl.when((p == 0) & (t == 0))
+        def _():
+            sums_s[...] = jnp.zeros_like(sums_s)
+            stats_s[...] = jnp.zeros_like(stats_s)
+
+        # Finalize layer (li)'s stats at the first tile of phase li+1.
+        for li in range(L):
+            @pl.when((p == li + 1) & (t == 0))
+            def _(li=li):
+                mean = sums_s[li, 0, :] / rows
+                var = sums_s[li, 1, :] / rows - mean * mean
+                stats_s[li, 0, :] = mean
+                stats_s[li, 1, :] = jax.lax.rsqrt(var + eps)
+
+        for li in range(L):
+            @pl.when(p == li)
+            def _(li=li):
+                h, _, _, _ = _prefix(x_ref, refs, stats_s, li, eps, dtype)
+                W, b, _, _ = refs[li]
+                pre = _preact(h, W, b, dtype)
+                c = widths[li]
+                sums_s[li, 0, :c] += jnp.sum(pre, axis=0)
+                sums_s[li, 1, :c] += jnp.sum(pre * pre, axis=0)
+
+        @pl.when(p == L)
+        def _():
+            h, _, _, _ = _prefix(x_ref, refs, stats_s, L, eps, dtype)
+            T, C = h.shape
+            pooled_ref[...] = jnp.max(
+                h.reshape(T // pool, pool, C), axis=1
+            ).astype(pooled_ref.dtype)
+
+            @pl.when(t == nt - 1)
+            def _():
+                for li in range(L):
+                    mean = sums_s[li, 0, :] / rows
+                    var = sums_s[li, 1, :] / rows - mean * mean
+                    stats_out[li, 0, :] = mean
+                    stats_out[li, 1, :] = stats_s[li, 1, :]
+                    stats_out[li, 2, :] = var
+
+    return kernel
+
+
+def sa_train_forward_unified(
+    x: Array,
+    layers: Tuple[SALayerParams, ...],
+    pool_size: int,
+    eps: float = 1e-5,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Single-pallas_call forward. Returns (pooled, [(mean, var)],
+    stats_packed (L, 2, cmax) with [mean, inv] rows)."""
+    L = len(layers)
+    R, C0 = x.shape
+    widths = [lp.kernel.shape[1] for lp in layers]
+    cmax = max(widths)
+    tile = _pick_tile(R, pool_size, cmax)
+    flat = _flatten_params(layers)
+    x = x.astype(jnp.float32) if compute_dtype == jnp.float32 else x
+
+    in_specs = [pl.BlockSpec((tile, C0), lambda p, t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    for prm in flat:
+        in_specs.append(pl.BlockSpec(
+            prm.shape, (lambda p, t: (0, 0)),
+            memory_space=pltpu.VMEM))
+    out_shapes = (
+        jax.ShapeDtypeStruct((R // pool_size, widths[-1]), jnp.float32),
+        jax.ShapeDtypeStruct((L, 3, cmax), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((tile // pool_size, widths[-1]),
+                     lambda p, t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 3, cmax), lambda p, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    pooled, stats3 = pl.pallas_call(
+        _make_unified_fwd_kernel(
+            L, pool_size, eps, compute_dtype, R, widths, cmax),
+        grid=(L + 1, R // tile),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((L, 2, cmax), jnp.float32),
+                        pltpu.VMEM((L, 2, cmax), jnp.float32)],
+        interpret=interpret,
+    )(x, *flat)
+
+    stats = [(stats3[li, 0, :widths[li]], stats3[li, 2, :widths[li]])
+             for li in range(L)]
+    packed = stats3[:, :2, :]
+    return pooled, stats, packed
+
+
 def sa_train_forward_pallas(
     x: Array,
     layers: Tuple[SALayerParams, ...],
@@ -208,6 +328,164 @@ def sa_train_forward_pallas(
                      memory_space=pltpu.VMEM),
         tile, interpret=interpret)
     return pooled, list(zip(means, vars_)), stats
+
+
+def _make_unified_bwd_kernel(L, pool, eps, dtype, rows, widths, cmax,
+                             need_dx, c0):
+    def kernel(*args):
+        x_ref = args[0]
+        refs = _param_refs(args[1:1 + 4 * L], L)
+        stats_ref = args[1 + 4 * L]
+        dout_ref = args[2 + 4 * L]
+        outs = list(args[3 + 4 * L:])
+        bsums_s = outs.pop()                       # scratch (L, 2, cmax)
+        bsums_out = outs.pop()                     # (L, 2, cmax) output
+        if need_dx:
+            dx_out = outs[0]
+            dw_outs = outs[1:1 + L]
+            db_outs = outs[1 + L:1 + 2 * L]
+        else:
+            dw_outs = outs[0:L]
+            db_outs = outs[L:2 * L]
+
+        p = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        @pl.when((p == 0) & (t == 0))
+        def _():
+            bsums_s[...] = jnp.zeros_like(bsums_s)
+            for o in list(dw_outs) + list(db_outs):
+                o[...] = jnp.zeros_like(o)
+
+        # Phase j in 0..L-1 accumulates layer (L-1-j)'s BN sums; phase L
+        # emits parameter grads (+ dX).
+        for j in range(L):
+            li = L - 1 - j
+
+            @pl.when(p == j)
+            def _(li=li):
+                h, acts, xhats, masks = _prefix(x_ref, refs, stats_ref, L,
+                                                eps, dtype)
+                da_top = _pool_grad(acts[L],
+                                    dout_ref[...].astype(jnp.float32), pool)
+                _, da = _backprop_to(refs, stats_ref, bsums_s, acts, xhats,
+                                     masks, da_top, li + 1, L, rows, dtype)
+                dy = da * masks[li].astype(jnp.float32)
+                c = widths[li]
+                bsums_s[li, 0, :c] += jnp.sum(dy, axis=0)
+                bsums_s[li, 1, :c] += jnp.sum(dy * xhats[li], axis=0)
+
+        @pl.when(p == L)
+        def _():
+            h, acts, xhats, masks = _prefix(x_ref, refs, stats_ref, L, eps,
+                                            dtype)
+            da_top = _pool_grad(acts[L], dout_ref[...].astype(jnp.float32),
+                                pool)
+            captured, _ = _backprop_to(refs, stats_ref, bsums_s, acts,
+                                       xhats, masks, da_top, 0, L, rows,
+                                       dtype)
+            for l_idx, dp in captured:
+                dw_outs[l_idx][...] += jax.lax.dot_general(
+                    acts[l_idx].astype(jnp.float32), dp,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db_outs[l_idx][0, :] += jnp.sum(dp, axis=0)
+            if need_dx:
+                dp0 = [dp for l_idx, dp in captured if l_idx == 0][0]
+                W0 = refs[0][0]
+                dx_out[...] = _dot(dp0, jnp.swapaxes(W0[...], 0, 1),
+                                   jnp.float32)
+
+            @pl.when(t == nt - 1)
+            def _():
+                bsums_out[...] = bsums_s[...]
+
+    return kernel
+
+
+def sa_train_backward_unified(
+    x: Array,
+    layers: Tuple[SALayerParams, ...],
+    stats_packed: Array,
+    dout: Array,
+    pool_size: int,
+    eps: float = 1e-5,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    need_dx: bool = True,
+):
+    """Single-pallas_call backward. Same contract as
+    sa_train_backward_pallas."""
+    L = len(layers)
+    R, C0 = x.shape
+    widths = [lp.kernel.shape[1] for lp in layers]
+    cmax = max(widths)
+    tile = _pick_tile(R, pool_size, cmax)
+    if R % (tile // 2) == 0 and (tile // 2) % pool_size == 0:
+        tile //= 2
+    flat = _flatten_params(layers)
+    x = x.astype(jnp.float32) if compute_dtype == jnp.float32 else x
+
+    in_specs = [pl.BlockSpec((tile, C0), lambda p, t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    for prm in flat:
+        in_specs.append(pl.BlockSpec(prm.shape, (lambda p, t: (0, 0)),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(stats_packed.shape,
+                                 lambda p, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((tile // pool_size, widths[-1]),
+                                 lambda p, t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_shapes = []
+    out_specs = []
+    if need_dx:
+        out_shapes.append(jax.ShapeDtypeStruct((R, C0), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile, C0), lambda p, t: (t, 0),
+                                      memory_space=pltpu.VMEM))
+    for li in range(L):
+        cin = layers[li].kernel.shape[0]
+        out_shapes.append(jax.ShapeDtypeStruct((cin, widths[li]),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((cin, widths[li]),
+                                      lambda p, t: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for li in range(L):
+        out_shapes.append(jax.ShapeDtypeStruct((1, widths[li]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, widths[li]), lambda p, t: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((L, 2, cmax), jnp.float32))
+    out_specs.append(pl.BlockSpec((L, 2, cmax), lambda p, t: (0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        _make_unified_bwd_kernel(L, pool_size, eps, compute_dtype, R,
+                                 widths, cmax, need_dx, C0),
+        grid=(L + 1, R // tile),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((L, 2, cmax), jnp.float32)],
+        interpret=interpret,
+    )(x, *flat, stats_packed, dout)
+
+    outs = list(outs)
+    bsums = outs.pop()
+    if need_dx:
+        dx = outs[0]
+        dws = outs[1:1 + L]
+        dbs = [o[0] for o in outs[1 + L:1 + 2 * L]]
+    else:
+        dx = None
+        dws = outs[0:L]
+        dbs = [o[0] for o in outs[L:2 * L]]
+    grads = []
+    for li in range(L):
+        c = widths[li]
+        grads.append((dws[li], dbs[li], bsums[li, 1, :c], bsums[li, 0, :c]))
+    return dx, grads
 
 
 # ---------------------------------------------------------------------------

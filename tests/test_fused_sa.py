@@ -128,3 +128,32 @@ def test_tie_gradients_match(rng):
     gr = jax.grad(ref_loss)(x)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unified_kernels_match_multicall(rng):
+    from facl_tpu.ops.pallas.sa_kernel import (
+        sa_train_backward_unified, sa_train_forward_unified)
+    R, K = 256, 8
+    x = jnp.asarray(rng.normal(size=(R, 4)).astype(np.float32))
+    layers = make_layers(rng)
+    dout = jnp.asarray(rng.normal(size=(R // K, 32)).astype(np.float32))
+
+    pm, sm, pkm = sa_train_forward_pallas(x, layers, K, interpret=True)
+    pu, su, pku = sa_train_forward_unified(x, layers, K, interpret=True)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(pm), rtol=1e-5,
+                               atol=1e-6)
+    for (mm, vm), (mu, vu) in zip(sm, su):
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mm), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(vu), np.asarray(vm),
+                                   rtol=1e-4, atol=1e-6)
+
+    dxm, gm = sa_train_backward_pallas(x, layers, pkm, dout, K,
+                                       interpret=True)
+    dxu, gu = sa_train_backward_unified(x, layers, pku, dout, K,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(dxu), np.asarray(dxm), rtol=1e-4,
+                               atol=1e-6)
+    for a, b in zip(gu, gm):
+        for au, bm in zip(a, b):
+            np.testing.assert_allclose(np.asarray(au), np.asarray(bm),
+                                       rtol=1e-4, atol=1e-6)
