@@ -165,3 +165,22 @@ def test_validation_splits(synth_root):
     va = NTUPointDataset(root, cfg, split="validation")
     # Disjoint and drawn from the performer tables.
     assert set(tv.indices).isdisjoint(va.indices)
+
+
+def test_crop_loader_deterministic_across_runs(synth_root):
+    root, names = synth_root
+    cfg = DataConfig(dataset="ntu60", protocol="xview", num_points=32)
+    ds = NTUPointDataset(root, cfg, train=True)
+    if len(ds) < 2:
+        pytest.skip("not enough train videos")
+
+    def one_epoch():
+        loader = CropLoader(ds, 2, jax.random.PRNGKey(7))
+        return [(np.asarray(c), list(n)) for c, _, n in loader.epoch(3)]
+
+    a = one_epoch()
+    b = one_epoch()
+    assert len(a) == len(b)
+    for (ca, na), (cb, nb) in zip(a, b):
+        assert na == nb
+        np.testing.assert_array_equal(ca, cb)
