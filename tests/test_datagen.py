@@ -175,3 +175,29 @@ def test_clip_generator_frame_cap():
     out = gen.from_frames(synthetic_frames(F=12))
     assert out["raw"].shape == (256, 8)
     assert out["app"].shape == (4, 256, 4)
+
+
+def test_generate_dataset_walks_ntu_tree(tmp_path):
+    """The host driver walks <root>/<setup>/nturgb+d_depth_masked/<video>/
+    and writes the reference's output layout (generate_NTU.py:86-112)."""
+    imageio = pytest.importorskip("imageio.v2")
+    cfg = small_cfg()
+    cfg = DatagenConfig(**{**cfg.__dict__, "resolutions": (8, 4)})
+    vid_dir = (tmp_path / "data" / "nturgbd_depth_masked_s001" /
+               "nturgb+d_depth_masked" / "S001C001P001R001A001")
+    vid_dir.mkdir(parents=True)
+    frames = synthetic_frames(F=6)
+    for i, fr in enumerate(frames):
+        imageio.imwrite(str(vid_dir / f"f{i:03d}.png"),
+                        fr.astype(np.uint16))
+    from facl_tpu.datagen import generate_dataset
+    n = generate_dataset(str(tmp_path / "data"), str(tmp_path / "out"), cfg)
+    assert n == 2  # one video x two resolutions
+    for res in (8, 4):
+        base = tmp_path / "out" / f"Resolution{res}"
+        assert (base / "raw" / "S001C001P001R001A001.npy").exists()
+        assert (base / "others" / "S001C001P001R001A001_key.npy").exists()
+        assert (base / "app" / "S001C001P001R001A001_app.npy").exists()
+    raw = np.load(tmp_path / "out" / "Resolution8" / "raw" /
+                  "S001C001P001R001A001.npy")
+    assert raw.shape == (cfg.sample_num, 8) and np.isfinite(raw).all()

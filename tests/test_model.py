@@ -99,3 +99,19 @@ def test_linear_probe(rng):
     variables = model.init(jax.random.PRNGKey(0), feats)
     logits = model.apply(variables, feats)
     assert logits.shape == (8, 12)
+
+
+def test_fine_variant_grouping_geometry(rng):
+    """PointNet_Plus_fine = same network, S=32/K=128 grouping
+    (cn3d_model_conbag.py:141-234); pooling adapts to the shapes."""
+    cfg = small_cfg()
+    G, B = cfg.num_crops, 2
+    pts = jnp.asarray(rng.normal(size=(G * B, 64, 4)).astype(np.float32))
+    # fine geometry scaled down for the test: S=4, K=16
+    neigh, cent = group_points(pts, 4, 16, radius_sq=10.0)
+    model = PointNetPlus(cfg)
+    variables = model.init(jax.random.PRNGKey(0), neigh, cent, train=False)
+    (x, code, xn, xg), _ = model.apply(variables, neigh, cent, train=True,
+                                       mutable=["batch_stats"])
+    assert x.shape == (G * B, cfg.embed_dim)
+    assert xg.shape == (B, cfg.embed_dim)
