@@ -29,8 +29,10 @@ import jax.numpy as jnp
 
 from facl_tpu.config import DataConfig
 from facl_tpu.ops import transforms as T
+from facl_tpu.ops.transforms import _rot_y as _rot_y_batch  # y-rot matrices
 
 Array = jax.Array
+_HI = jax.lax.Precision.HIGHEST
 
 
 class ClipSources(NamedTuple):
@@ -112,17 +114,6 @@ def random_augment(key: Array, points: Array, jitter_sigma: float = 0.01,
     flip = jax.random.bernoulli(k5, 0.5)
     out = jnp.where(flip, mirrored, out)
     return T.jitter(k4, out, jitter_sigma, jitter_clip)
-
-
-def _rot_y_batch(angle: Array) -> Array:
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    z, o = jnp.zeros_like(c), jnp.ones_like(c)
-    return jnp.stack([jnp.stack([c, z, s], -1),
-                      jnp.stack([z, o, z], -1),
-                      jnp.stack([-s, z, c], -1)], axis=-2)
-
-
-_HI = jax.lax.Precision.HIGHEST
 
 
 @partial(jax.jit, static_argnames=("num_points",))
