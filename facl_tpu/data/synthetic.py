@@ -22,11 +22,13 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
         h = int(rng.integers(H // 4, H // 2))
         w = int(rng.integers(W // 10, W // 5))
         y0 = int(rng.integers(0, H - h))
-        x0 = int(rng.integers(0, W - w - n_frames * 4))
+        # Velocity scaled so the blob stays in frame for any clip length.
+        vx = max(1, (W - w - 1) // max(n_frames, 1))
+        vx = int(rng.integers(1, min(4, vx) + 1))
+        x0 = int(rng.integers(0, max(1, W - w - n_frames * vx)))
         depth = float(rng.uniform(1500, 3500))
-        vx = int(rng.integers(1, 4))
         for f in range(n_frames):
-            x = x0 + vx * f
+            x = min(x0 + vx * f, W - w - 1)
             frames[f, y0:y0 + h, x:x + w] = depth + 20.0 * f
     return frames
 
