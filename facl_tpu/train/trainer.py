@@ -178,8 +178,14 @@ class Trainer:
     def run_epoch(self, state: TrainState, batches: Iterable[Array],
                   epoch: int, rng: Array,
                   log_fn: Optional[Callable[[Dict], None]] = None):
-        """Run one epoch; returns (state, mean-metrics dict)."""
-        totals: Dict[str, float] = {}
+        """Run one epoch; returns (state, mean-metrics dict).
+
+        Metrics stay on device during the epoch — fetching a scalar per
+        step would synchronize the host with every step and destroy the
+        dispatch pipeline. Only the periodic log line (every
+        ``log_every_steps``) and the end-of-epoch means materialize.
+        """
+        device_metrics = []
         count = 0
         clips = 0
         t0 = time.perf_counter()
@@ -189,14 +195,18 @@ class Trainer:
             state, metrics = self.step_fn(state, points, sub, epoch_arr)
             count += 1
             clips += points.shape[1]
+            device_metrics.append(metrics)
             if log_fn is not None and (i % self.cfg.train.log_every_steps == 0):
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(step=int(state.step), epoch=epoch)
                 log_fn(m)
-            totals = {k: totals.get(k, 0.0) + float(v)
-                      for k, v in metrics.items()}
-        jax.block_until_ready(state.params)
+        # One sync for the whole epoch.
+        if device_metrics:
+            stacked = {k: float(jnp.mean(jnp.stack(
+                [m[k] for m in device_metrics])))
+                for k in device_metrics[0]}
+        else:
+            stacked = {}
         dt = time.perf_counter() - t0
-        mean = {k: v / max(count, 1) for k, v in totals.items()}
-        mean["clips_per_sec"] = clips / dt if dt > 0 else 0.0
-        return state, mean
+        stacked["clips_per_sec"] = clips / dt if dt > 0 else 0.0
+        return state, stacked
