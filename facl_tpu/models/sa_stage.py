@@ -110,8 +110,11 @@ class SetAbstractionStage(nn.Module):
                 stats.append((mean, var))
             else:
                 mean, var = running[i]
+            # Folded affine: y = p*A + B with per-channel A/B — halves the
+            # full-tensor elementwise work vs ((p-mean)*inv)*gamma+beta.
             mul = jax.lax.rsqrt(var + self.epsilon) * lp.scale
-            y = ((p - mean) * mul + lp.shift).astype(self.dtype)
+            shift = lp.shift - mean * mul
+            y = (p * mul + shift).astype(self.dtype)
             h = jax.nn.relu(y)
         pooled = jnp.max(h, axis=-2)
         return pooled, stats
