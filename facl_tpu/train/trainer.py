@@ -31,8 +31,43 @@ from facl_tpu.train.state import TrainState
 Array = jax.Array
 
 
+def make_grouping_fn(g_cfg, mesh=None) -> Callable:
+    """Grouping over a (G, B, N, C) batch.
+
+    Single device: plain group_points (Pallas gather on TPU). With a
+    multi-device ``mesh``: shard_map over the batch axis — grouping is
+    row-independent, so each shard runs the single-device kernel on its
+    slice and the Pallas gather stays usable on pods. Without a mesh but
+    with multiple devices visible, fall back to the XLA gather (GSPMD can
+    partition it)."""
+    def group4d(points4d, gather_impl="auto"):
+        G, B, N, C = points4d.shape
+        flat = points4d.reshape(G * B, N, C)
+        neigh, cent = group_points(
+            flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
+            g_cfg.method, gather_impl)
+        S, K = g_cfg.num_centroids, g_cfg.knn_k
+        return (neigh.reshape(G, B, S, K, C), cent.reshape(G, B, S, 3))
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def grouped(points4d):
+            out = jax.shard_map(
+                group4d, mesh=mesh,
+                in_specs=P(None, "dp"),
+                out_specs=(P(None, "dp"), P(None, "dp")),
+            )(points4d)
+            return out
+
+        return grouped
+    if len(jax.devices()) > 1:
+        return lambda p: group4d(p, "xla")
+    return group4d
+
+
 def make_train_step(model, optimizer, cfg: Config,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, mesh=None) -> Callable:
     """Build the jit-compiled training step.
 
     step(state, points, key, epoch) -> (state, metrics)
@@ -41,17 +76,13 @@ def make_train_step(model, optimizer, cfg: Config,
     """
     g_cfg = cfg.grouping
     l_cfg = cfg.loss
-
-    # The Pallas gather kernel is a single-device program; under a
-    # multi-device GSPMD mesh fall back to the XLA gather, which partitions.
-    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+    grouping_fn = make_grouping_fn(g_cfg, mesh)
 
     def loss_fn(params, batch_stats, points, key, epoch, swav_queue):
         G, B, N, C = points.shape
-        flat = points.reshape(G * B, N, C)
-        neigh, cent = group_points(
-            flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl)
+        neigh5, cent4 = grouping_fn(points)
+        neigh = neigh5.reshape(G * B, *neigh5.shape[2:])
+        cent = cent4.reshape(G * B, *cent4.shape[2:])
         (x, code, x_nor, x_global), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             neigh, cent, train=True, mutable=["batch_stats"])
@@ -151,7 +182,8 @@ class Trainer:
         self.mesh = mesh
         self.model = model or PointNetPlus(cfg.model)
         self.optimizer = make_optimizer(cfg.train.optim, steps_per_epoch)
-        self.step_fn = make_train_step(self.model, self.optimizer, cfg)
+        self.step_fn = make_train_step(self.model, self.optimizer, cfg,
+                                       mesh=mesh)
 
     def init_state(self, rng: Array, sample_points: Array) -> TrainState:
         """sample_points: (G, B, N, C) — used for shape inference only."""

@@ -68,3 +68,50 @@ def test_mp_param_sharding_rule():
     assert shardings["head"]["Dense_0"]["kernel"].spec == P(None, "mp")
     assert shardings["head"]["Dense_0"]["bias"].spec == P()
     assert shardings["sa"]["dense_0"]["kernel"].spec == P()
+
+
+def test_mesh_aware_grouping_matches_unsharded(rng):
+    """shard_map grouping (the multi-chip fast path for the Pallas gather)
+    must reproduce the single-device grouping exactly."""
+    from facl_tpu.train.trainer import make_grouping_fn
+    cfg = tiny_config()
+    g = cfg.grouping
+    G, B, N, C = 4, 8, 32, 4
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+
+    plain = make_grouping_fn(g, mesh=None)
+    mesh = make_mesh(MeshConfig(dp=8, mp=1))
+    sharded = make_grouping_fn(g, mesh=mesh)
+
+    n1, c1 = plain(batch)
+    batch_sharded = jax.device_put(batch, NamedSharding(mesh, P(None, "dp")))
+    n2, c2 = sharded(batch_sharded)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+
+def test_mesh_aware_trainer_step(rng):
+    """Full step with a mesh-aware trainer on the dp mesh matches the
+    meshless trainer."""
+    cfg = tiny_config()
+    G, B, N, C = cfg.model.num_crops, 8, 32, 4
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    ep = jnp.asarray(0)
+
+    tr0 = Trainer(cfg, steps_per_epoch=10)
+    s0 = tr0.init_state(jax.random.PRNGKey(0), batch)
+    s0, m0 = tr0.step_fn(s0, batch, key, ep)
+
+    mesh = make_mesh(MeshConfig(dp=8, mp=1))
+    trm = Trainer(cfg, steps_per_epoch=10, mesh=mesh)
+    sm = trm.init_state(jax.random.PRNGKey(0), batch)
+    sharded = jax.device_put(batch, NamedSharding(mesh, P(None, "dp")))
+    sm, mm = trm.step_fn(sm, sharded, key, ep)
+
+    np.testing.assert_allclose(float(m0["loss"]), float(mm["loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
