@@ -53,19 +53,31 @@ def _preact(h, W, b, dtype):
 
 def _layer_forward(h, refs, li, stats_ref, eps, dtype):
     """One Dense+BN(train)+ReLU with known stats. h: (T, Cin) dtype.
-    Returns (a (T, Cout) dtype, p_f32, xhat_f32, mask)."""
+    Returns (a (T, Cout) dtype, xhat (dtype), mask (f32-compared bool)).
+
+    Full-tensor elementwise math stays in f32: the TPU VPU is f32-native
+    (bf16 elementwise upcasts internally and measured *slower*); the
+    per-channel BN affines are folded (xhat = p*A+B, y = p*A'+B') to
+    minimize op count.
+    """
     W, b, g, be = refs[li]
-    p = _preact(h, W, b, dtype)                          # (T, Cout) f32
     c = W.shape[1]
+    d = _dot(h, W[...], dtype)
+    pf = (d.astype(dtype) + b[...][0].astype(dtype)).astype(jnp.float32)
     mean = stats_ref[li, 0, :c]
     inv = stats_ref[li, 1, :c]
-    xhat = (p - mean[None, :]) * inv[None, :]
-    y = (xhat * g[...][0].astype(jnp.float32)
-         + be[...][0].astype(jnp.float32)).astype(dtype)
-    a = jnp.maximum(y, jnp.zeros_like(y))
+    gam = g[...][0].astype(jnp.float32)
+    # xhat = p*inv - mean*inv;  y = p*(inv*gam) - mean*inv*gam + beta.
+    b_x = -mean * inv
+    a_y = inv * gam
+    b_y = be[...][0].astype(jnp.float32) - mean * a_y
+    xhat = pf * inv[None, :] + b_x[None, :]
+    y = pf * a_y[None, :] + b_y[None, :]
+    yd = y.astype(dtype)
+    a = jnp.maximum(yd, jnp.zeros_like(yd))
     # Compare in f32: the v5e VPU rejects bf16 comparisons in Mosaic.
-    mask = (y.astype(jnp.float32) > 0.0)
-    return a, p, xhat, mask
+    mask = (yd.astype(jnp.float32) > 0.0)
+    return a, None, xhat, mask
 
 
 def _prefix(x_ref, refs, stats_ref, upto, eps, dtype):
@@ -371,10 +383,12 @@ def _make_unified_bwd_kernel(L, pool, eps, dtype, rows, widths, cmax,
                                     dout_ref[...].astype(jnp.float32), pool)
                 _, da = _backprop_to(refs, stats_ref, bsums_s, acts, xhats,
                                      masks, da_top, li + 1, L, rows, dtype)
-                dy = da * masks[li].astype(jnp.float32)
+                dy = da * masks[li].astype(dtype)
                 c = widths[li]
-                bsums_s[li, 0, :c] += jnp.sum(dy, axis=0)
-                bsums_s[li, 1, :c] += jnp.sum(dy * xhats[li], axis=0)
+                bsums_s[li, 0, :c] += jnp.sum(dy, axis=0,
+                                              dtype=jnp.float32)
+                bsums_s[li, 1, :c] += jnp.sum(dy * xhats[li], axis=0,
+                                              dtype=jnp.float32)
 
         @pl.when(p == L)
         def _():
@@ -390,7 +404,8 @@ def _make_unified_bwd_kernel(L, pool, eps, dtype, rows, widths, cmax,
                     acts[l_idx].astype(jnp.float32), dp,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                db_outs[l_idx][0, :] += jnp.sum(dp, axis=0)
+                db_outs[l_idx][0, :] += jnp.sum(dp, axis=0,
+                                                dtype=jnp.float32)
             if need_dx:
                 dp0 = [dp for l_idx, dp in captured if l_idx == 0][0]
                 W0 = refs[0][0]
@@ -518,6 +533,9 @@ def _backprop_to(refs, stats_ref, bsums_ref, acts, xhats, masks, da_top,
     ``upto``'s pre-activation. ``bsums_ref[l]`` holds this batch's global
     (sum dy, sum dy*xhat) for layers > upto (already accumulated).
     Returns dp at layer ``upto`` plus per-layer (dp, a_in) seen on the way.
+
+    Full-tensor math stays in f32 (f32-native VPU; see _layer_forward);
+    per-channel scalar terms are folded first.
     """
     da = da_top
     captured = []
@@ -529,8 +547,9 @@ def _backprop_to(refs, stats_ref, bsums_ref, acts, xhats, masks, da_top,
         s_dyx = bsums_ref[li, 1, :c]
         inv = stats_ref[li, 1, :c]
         gam = g[...][0].astype(jnp.float32)
-        dp = (gam * inv)[None, :] * (
-            dy - s_dy[None, :] / R - xhats[li] * (s_dyx[None, :] / R))
+        gi = gam * inv
+        dp = gi[None, :] * (
+            dy - (s_dy / R)[None, :] - xhats[li] * (s_dyx / R)[None, :])
         captured.append((li, dp))
         if li > 0:
             da = _dot(dp, jnp.swapaxes(W[...], 0, 1), dtype)
@@ -575,9 +594,10 @@ def _make_bwd_kernel(L, li, pool, eps, dtype, emit_dx, rows,
             captured, da = _backprop_to(refs, stats_ref, bsums_ref, acts,
                                         xhats, masks, da_top, li + 1, L,
                                         R_total, dtype)
-            dy = da * masks[li].astype(jnp.float32)
-            sums_out[0, :] += jnp.sum(dy, axis=0)
-            sums_out[1, :] += jnp.sum(dy * xhats[li], axis=0)
+            dy = da * masks[li].astype(dtype)
+            sums_out[0, :] += jnp.sum(dy, axis=0, dtype=jnp.float32)
+            sums_out[1, :] += jnp.sum(dy * xhats[li], axis=0,
+                                      dtype=jnp.float32)
         else:
             # Final sweep: full propagation to dX + parameter grads.
             if need_dx:
@@ -601,7 +621,8 @@ def _make_bwd_kernel(L, li, pool, eps, dtype, emit_dx, rows,
                     acts[l_idx].astype(jnp.float32), dp,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                db_outs[l_idx][0, :] += jnp.sum(dp, axis=0)
+                db_outs[l_idx][0, :] += jnp.sum(dp, axis=0,
+                                                dtype=jnp.float32)
             if need_dx:
                 # dX: dp at layer 0 times W0^T.
                 dp0 = [dp for l_idx, dp in captured if l_idx == 0][0]

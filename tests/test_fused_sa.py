@@ -157,3 +157,53 @@ def test_unified_kernels_match_multicall(rng):
         for au, bm in zip(a, b):
             np.testing.assert_allclose(np.asarray(au), np.asarray(bm),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_mode_close_to_f32(rng):
+    """bf16 in-kernel elementwise: results track the f32 path within bf16
+    tolerance (the kernels' production fast path)."""
+    R, K = 256, 8
+    x = jnp.asarray(rng.normal(size=(R, 4)).astype(np.float32))
+    layers = make_layers(rng)
+    p32, s32, _ = sa_train_forward_pallas(x, layers, K, interpret=True)
+    p16, s16, pk16 = sa_train_forward_pallas(
+        x, layers, K, compute_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(p16, np.float32), np.asarray(p32),
+                               rtol=0.05, atol=0.05)
+    dout = jnp.asarray(rng.normal(size=(R // K, 32)).astype(np.float32))
+    dx32, g32 = sa_train_backward_pallas(x, layers, _pack(s32, 32), dout, K,
+                                         interpret=True)
+    dx16, g16 = sa_train_backward_pallas(x, layers, pk16, dout, K,
+                                         compute_dtype=jnp.bfloat16,
+                                         interpret=True)
+    # bf16 activations flip occasional max-pool ties, redirecting gradient
+    # mass between near-duplicate rows — compare statistically, not
+    # element-wise. The Dense bias gradient through BN is analytically ~0
+    # (BN backward output is mean-free), i.e. pure cancellation noise in
+    # both implementations — compare it only in magnitude against dW.
+    for li, (g_a, g_b) in enumerate(zip(g16, g32)):
+        dw_a, db_a, dg_a, dbe_a = g_a
+        dw_b, db_b, dg_b, dbe_b = g_b
+        scale = np.linalg.norm(np.asarray(dw_b, np.float64))
+        assert np.linalg.norm(np.asarray(db_a, np.float64)) < 0.05 * scale
+        for name, a, b in (("dW", dw_a, dw_b), ("dgamma", dg_a, dg_b),
+                           ("dbeta", dbe_a, dbe_b)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if nb < 1e-6:
+                continue
+            cos = float(a @ b / (na * nb + 1e-12))
+            assert cos > 0.97, f"L{li} {name} cosine {cos}"
+            assert 0.8 < na / nb < 1.25, f"L{li} {name} norm ratio {na/nb}"
+
+
+def _pack(stats, cmax):
+    import jax.numpy as jnp
+    rows = []
+    for mean, var in stats:
+        inv = 1.0 / np.sqrt(np.asarray(var) + 1e-5)
+        pad = cmax - mean.shape[0]
+        rows.append(np.stack([np.pad(np.asarray(mean), (0, pad)),
+                              np.pad(inv, (0, pad))]))
+    return jnp.asarray(np.stack(rows))
