@@ -115,3 +115,41 @@ def test_fine_variant_grouping_geometry(rng):
                                        mutable=["batch_stats"])
     assert x.shape == (G * B, cfg.embed_dim)
     assert xg.shape == (B, cfg.embed_dim)
+
+
+def test_sa_stage_train_eval_consistency(rng):
+    """With running stats set to exactly this batch's statistics, the
+    eval-mode output must match the train-mode output (same normalization
+    path, different code branch)."""
+    from facl_tpu.models.sa_stage import SetAbstractionStage
+    x = jnp.asarray(rng.normal(size=(4, 8, 16, 4)).astype(np.float32))
+    m = SetAbstractionStage(widths=(8, 16))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out_train, mutated = m.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+    # Build batch_stats equal to this batch's stats: run train once from
+    # fresh running stats with momentum applied, then invert the momentum
+    # update: stat = (new - m*old) / (1-m).
+    old = variables["batch_stats"]
+    new = mutated["batch_stats"]
+    exact = jax.tree_util.tree_map(
+        lambda n, o: (n - 0.9 * o) / 0.1, new, old)
+    out_eval = m.apply({"params": variables["params"],
+                        "batch_stats": exact}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_train),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grouping_approx_method(rng):
+    """The approx neighbor search path (lax.approx_min_k) produces valid
+    neighborhoods with the same ball-query semantics."""
+    pts = jnp.asarray(rng.normal(size=(2, 64, 4)).astype(np.float32))
+    n_ex, c_ex = group_points(pts, 8, 8, radius_sq=10.0, method="exact")
+    n_ap, c_ap = group_points(pts, 8, 8, radius_sq=10.0, method="approx")
+    assert n_ap.shape == n_ex.shape
+    np.testing.assert_allclose(np.asarray(c_ap), np.asarray(c_ex))
+    # High-recall approx on small N: neighbor sets should mostly agree.
+    a = np.sort(np.asarray(n_ap), axis=2)
+    b = np.sort(np.asarray(n_ex), axis=2)
+    agree = np.mean(np.all(np.isclose(a, b, atol=1e-5), axis=-1))
+    assert agree > 0.8
