@@ -61,3 +61,13 @@ def test_pretrain_resume_extract_probe(cli_root, tiny_cfg_file, tmp_path):
     # Probe with the same features standing in for both streams.
     probe.main(["--root", root, "--motion-features", feat,
                 "--appearance-features", feat, "--epochs", "3"])
+
+
+def test_moco_cli(cli_root, tiny_cfg_file, tmp_path):
+    from facl_tpu.cli import moco
+    root, names = cli_root
+    out = str(tmp_path / "moco_ck")
+    moco.main(["--root", root, "--stream", "motion", "--batch-size", "2",
+               "--dtype", "float32", "--config", tiny_cfg_file,
+               "--epochs", "2", "--out", out, "--queue-len", "8"])
+    assert os.path.exists(os.path.join(out, "index.json"))
