@@ -74,3 +74,42 @@ def restore_checkpoint(path: str, target: TrainState) -> TrainState:
 def restore_latest(directory: str, target: TrainState) -> Optional[TrainState]:
     path = latest_checkpoint(directory)
     return restore_checkpoint(path, target) if path else None
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (alternative format; async-capable, multi-host aware).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(directory: str, state: TrainState,
+                          epoch: int) -> str:
+    """Save via orbax StandardCheckpointer (directory-per-checkpoint).
+    Use for multi-host runs or when async saving matters; the msgpack
+    backend remains the default single-file format."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory,
+                                        f"orbax_epoch_{epoch:05d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    idx_path = os.path.join(directory, "index.json")
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"latest_epoch": epoch,
+                       "latest": os.path.basename(path),
+                       "backend": "orbax"}, f)
+        os.replace(tmp, idx_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def restore_checkpoint_orbax(path: str, target: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), jax.device_get(target))

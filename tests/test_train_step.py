@@ -102,3 +102,21 @@ def test_lr_schedule_matches_steplr():
     assert float(sched(399)) == pytest.approx(3e-4)
     assert float(sched(400)) == pytest.approx(3e-4 * 0.7)
     assert float(sched(800)) == pytest.approx(3e-4 * 0.49)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from facl_tpu.train.checkpoint import (restore_checkpoint_orbax,
+                                           save_checkpoint_orbax)
+    cfg = tiny_config()
+    tr = Trainer(cfg, steps_per_epoch=10)
+    batch = make_batch(rng)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = tr.step_fn(state, batch, jax.random.PRNGKey(1), jnp.asarray(0))
+
+    path = save_checkpoint_orbax(str(tmp_path), state, epoch=3)
+    fresh = tr.init_state(jax.random.PRNGKey(9), batch)
+    restored = restore_checkpoint_orbax(path, fresh)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
