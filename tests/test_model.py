@@ -153,3 +153,25 @@ def test_grouping_approx_method(rng):
     b = np.sort(np.asarray(n_ex), axis=2)
     agree = np.mean(np.all(np.isclose(a, b, atol=1e-5), axis=-1))
     assert agree > 0.8
+
+
+def test_slowfast_trainer_step(rng):
+    from facl_tpu.config import (Config, GroupingConfig, TrainConfig,
+                                 OptimConfig)
+    from facl_tpu.train.slowfast_trainer import SlowFastTrainer
+    cfg = Config(
+        grouping=GroupingConfig(num_centroids=8, knn_k=8, radius_sq=10.0),
+        model=small_cfg(),
+        train=TrainConfig(batch_size=4, optim=OptimConfig(learning_rate=1e-3)),
+    )
+    B, N = 4, 32
+    pts = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+    tr = SlowFastTrainer(cfg, steps_per_epoch=10, slow_k=16, fast_k=8)
+    state = tr.init_state(jax.random.PRNGKey(0), pts)
+    losses = []
+    for i in range(6):
+        state, m = tr.step_fn(state, pts, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 6
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]   # the two pathways align on fixed data
