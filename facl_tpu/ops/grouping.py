@@ -99,6 +99,11 @@ def group_points(
     """
     B, N, C = points.shape
     S, K = num_centroids, knn_k
+    if K > N:
+        raise ValueError(f"knn_k={K} exceeds the {N} points per cloud")
+    if S > N:
+        raise ValueError(f"num_centroids={S} exceeds the {N} points per "
+                         "cloud (centroids are the first S points)")
     xyz = points[..., :3]
     centers = xyz[:, :S, :]                                # (B, S, 3)
 

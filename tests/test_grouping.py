@@ -91,3 +91,11 @@ def test_grouping_is_differentiable(rng):
 
     g = jax.grad(f)(pts)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_group_points_validates_geometry(rng):
+    pts = jnp.asarray(rng.normal(size=(1, 16, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="knn_k"):
+        group_points(pts, 4, 32, 0.1)
+    with pytest.raises(ValueError, match="num_centroids"):
+        group_points(pts, 32, 8, 0.1)

@@ -120,3 +120,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_swav_queue_inactive_before_start_epoch(rng):
+    """Before swav_queue_start_epoch the queue must not fill (the
+    reference allocates it lazily at that epoch, :215-220)."""
+    cfg = tiny_config(use_swav=True, swav_queue_start_epoch=5)
+    tr = Trainer(cfg, steps_per_epoch=10)
+    batch = make_batch(rng)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    state, m = tr.step_fn(state, batch, jax.random.PRNGKey(1),
+                          jnp.asarray(0))
+    assert np.abs(np.asarray(state.swav_queue)).sum() == 0.0
+    # At the start epoch it begins filling.
+    state, m = tr.step_fn(state, batch, jax.random.PRNGKey(2),
+                          jnp.asarray(5))
+    assert np.abs(np.asarray(state.swav_queue)).sum() > 0.0
