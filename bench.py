@@ -39,8 +39,12 @@ def main() -> None:
     # mode; BENCH_BATCH scales the per-step videos (BASELINE config 4's
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # BENCH_SA_IMPL: reference (direct BN reduce) | covar (Gram-matrix
+    # stats, default) | pallas (fused kernels).
+    sa_impl = os.environ.get("BENCH_SA_IMPL", cfg.model.sa_impl)
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
-                                                compute_dtype=dtype))
+                                                compute_dtype=dtype,
+                                                sa_impl=sa_impl))
     G = cfg.model.num_crops              # 10
     B = int(os.environ.get("BENCH_BATCH", cfg.train.batch_size))  # 64
     N = cfg.data.num_points              # 512
@@ -58,16 +62,22 @@ def main() -> None:
     # Warm-up (compile + 2 steps). A scalar fetch is the only reliable
     # barrier here: block_until_ready returns early on the remote (axon)
     # backend.
-    for _ in range(2):
-        state, metrics = trainer.step_fn(state, batch, key, epoch)
+    for i in range(2):
+        state, metrics = trainer.step_fn(state, batch,
+                                         jax.random.fold_in(key, 1000 + i),
+                                         epoch)
     float(metrics["loss"])
 
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     from facl_tpu.utils.profiling import trace
     with trace(os.environ.get("BENCH_PROFILE")):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = trainer.step_fn(state, batch, key, epoch)
+        # Fold the step index into the key — a constant key would make the
+        # circle-loss crop permutation identical across steps.
+        for i in range(steps):
+            state, metrics = trainer.step_fn(state, batch,
+                                             jax.random.fold_in(key, i),
+                                             epoch)
         float(metrics["loss"])      # forces the whole chain
         dt = time.perf_counter() - t0
 

@@ -37,7 +37,14 @@ def main(argv=None) -> None:
                          "(expected index.json written by pretrain)")
 
     # Extraction runs on BOTH splits, sequentially, without shuffling
-    # (extract_apperance_feature.py:112-136,163,192).
+    # (extract_apperance_feature.py:112-136,163,192). One Trainer / one
+    # restore / one eval_step compile is shared by both splits — compiles
+    # cost 60-120 s each on remote TPU backends.
+    from facl_tpu.train.trainer import make_eval_step
+
+    trainer = None
+    eval_step = None
+    restored = None
     for split, train in (("train", True), ("test", False)):
         ds = NTUPointDataset(args.root, cfg.data, train=train)
         if len(ds) == 0:
@@ -46,14 +53,18 @@ def main(argv=None) -> None:
         loader = CropLoader(ds, min(args.batch_size, len(ds)),
                             jax.random.PRNGKey(args.seed), shuffle=False,
                             drop_last=False)
-        trainer = Trainer(cfg, steps_per_epoch=1)
-        sample = next(iter(loader.epoch(0)))[0]
-        state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
-        restored = restore_latest(args.checkpoint, state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        if trainer is None:
+            trainer = Trainer(cfg, steps_per_epoch=1)
+            sample = next(iter(loader.epoch(0)))[0]
+            state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+            restored = restore_latest(args.checkpoint, state)
+            if restored is None:
+                raise SystemExit(f"no checkpoint in {args.checkpoint}")
+            eval_step = make_eval_step(trainer.model, cfg,
+                                       grouping=trainer.g_cfg)
         feats = extract_features(trainer.model, restored.variables, cfg,
-                                 loader.epoch(0), out_dir=args.out)
+                                 loader.epoch(0), out_dir=args.out,
+                                 eval_step=eval_step)
         log.info("%s split: wrote %d feature files to %s", split,
                  len(feats), args.out)
 

@@ -60,7 +60,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--out", default="checkpoints/pretrain")
+    p.add_argument("--out", default=None,
+                   help="checkpoint dir (default: cfg.train.checkpoint_dir)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -68,6 +69,8 @@ def main(argv=None) -> None:
     setup_logging()
     log = logging.getLogger("pretrain")
     cfg = build_config(args)
+    if args.out is None:
+        args.out = cfg.train.checkpoint_dir
 
     ds = NTUPointDataset(args.root, cfg.data, train=True)
     steps_per_epoch = max(1, len(ds) // args.batch_size)
@@ -76,6 +79,11 @@ def main(argv=None) -> None:
 
     key = jax.random.PRNGKey(args.seed)
     loader = CropLoader(ds, args.batch_size, key)
+
+    if cfg.model.name == "slow_fast":
+        _run_slowfast(args, cfg, loader, steps_per_epoch, log)
+        return
+
     trainer = Trainer(cfg, steps_per_epoch)
 
     sample = next(iter(loader.epoch(0)))[0]
@@ -99,6 +107,39 @@ def main(argv=None) -> None:
         if epoch % cfg.train.checkpoint_every_epochs == 0:
             path = save_checkpoint(args.out, state, epoch)
             log.info("checkpoint %s", path)
+    save_checkpoint(args.out, state, args.epochs - 1)
+
+
+def _run_slowfast(args, cfg, loader, steps_per_epoch, log) -> None:
+    """Train the two-pathway encoder (``"name": "slow_fast"`` in --config).
+
+    The reference defines PointNet_Slow_Fast but never wired a driver
+    (cn3d_model_conbag.py:237-387); SlowFastTrainer supplies the pair-
+    InfoNCE pathway-alignment recipe. Crops are flattened to (G*B, N, C)
+    single clouds — each crop is one training sample for both pathways.
+    """
+    from facl_tpu.train import save_checkpoint
+    from facl_tpu.train.slowfast_trainer import SlowFastTrainer
+
+    trainer = SlowFastTrainer(cfg, steps_per_epoch)
+    key = jax.random.PRNGKey(args.seed)
+
+    sample = next(iter(loader.epoch(0)))[0]
+    G, B, N, C = sample.shape
+    state = trainer.init_state(jax.random.PRNGKey(args.seed),
+                               sample.reshape(G * B, N, C))
+    for epoch in range(args.epochs):
+        losses = []
+        for batch, _, _ in loader.epoch(epoch):
+            key, sub = jax.random.split(key)
+            g, b, n, c = batch.shape
+            state, metrics = trainer.step_fn(
+                state, batch.reshape(g * b, n, c), sub)
+            losses.append(metrics["loss"])
+        mean = float(np.mean([float(x) for x in losses])) if losses else 0.0
+        log.info("slow_fast epoch %d done: loss=%.4f", epoch, mean)
+        if epoch % cfg.train.checkpoint_every_epochs == 0:
+            log.info("checkpoint %s", save_checkpoint(args.out, state, epoch))
     save_checkpoint(args.out, state, args.epochs - 1)
 
 

@@ -26,6 +26,12 @@ class GroupingConfig:
     knn_k: int = 64
     radius_sq: float = 0.06
     method: str = "exact"        # "exact" (lax.top_k) | "approx" (lax.approx_min_k)
+    # Neighborhood gather implementation: "auto" picks the Pallas in-VMEM
+    # one-hot kernel on TPU and XLA's take_along_axis elsewhere (incl. the
+    # no-mesh multi-device case, where GSPMD must partition the gather);
+    # "pallas"/"xla" force one. This is THE knob — no code path may probe
+    # jax.devices() to silently downgrade an explicit choice.
+    gather_impl: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -75,7 +81,9 @@ class LossConfig:
     cld_temp: float = 0.05
     cld_clusters: int = 60
     cld_kmeans_iters: int = 5
-    cld_k_eigen: int = 10
+    # NOTE: the reference passes k_eigen=10 into its CLD ``grouping()``
+    # (utils_my.py:159,164) but the parameter is dead there — only the
+    # k-means branch exists ("Default: k-Means"). No knob here.
 
 
 @dataclass(frozen=True)

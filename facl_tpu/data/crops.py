@@ -53,10 +53,12 @@ class ClipSources(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_points", "jitter_sigma",
-                                   "jitter_clip", "rotate_range"))
+                                   "jitter_clip", "rotate_range",
+                                   "temporal_channels"))
 def make_crops(key: Array, src: ClipSources, num_points: int = 512,
                jitter_sigma: float = 0.01, jitter_clip: float = 0.05,
-               rotate_range: float = 0.8) -> Array:
+               rotate_range: float = 0.8,
+               temporal_channels=(4, 7)) -> Array:
     """Build the (10, num_points, 4) crop tensor for one video."""
     ks = jax.random.split(key, 16)
     p4 = src.points[:, :4]
@@ -84,10 +86,10 @@ def make_crops(key: Array, src: ClipSources, num_points: int = 512,
     ro2 = T.rotate_y_random(ks[14], ro2[None], rotate_range)[0]
 
     tkeys = jax.random.split(ks[15], 4)
-    ti1 = T.temporal_channel_view(tkeys[0], src.temporal_source, 4,
-                                  num_points)
-    ti2 = T.temporal_channel_view(tkeys[1], src.temporal_source, 7,
-                                  num_points)
+    ti1 = T.temporal_channel_view(tkeys[0], src.temporal_source,
+                                  temporal_channels[0], num_points)
+    ti2 = T.temporal_channel_view(tkeys[1], src.temporal_source,
+                                  temporal_channels[1], num_points)
 
     rs1 = sub(tkeys[2], src.res30[:, :4])
     rs2 = sub(tkeys[3], src.res10[:, :4])
@@ -145,7 +147,8 @@ def make_crops_batch(key: Array, srcs: ClipSources,
     crops = jax.vmap(
         lambda k, p, kp, t, r30, r10: make_crops(
             k, ClipSources(p, kp, t, r30, r10), cfg.num_points,
-            cfg.jitter_sigma, cfg.jitter_clip, cfg.rotate_range)
+            cfg.jitter_sigma, cfg.jitter_clip, cfg.rotate_range,
+            tuple(cfg.temporal_channels))
     )(keys, srcs.points, srcs.key_points, srcs.temporal_source,
       srcs.res30, srcs.res10)
     return jnp.moveaxis(crops, 0, 1)        # (B,10,N,4) -> (10,B,N,4)

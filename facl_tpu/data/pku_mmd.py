@@ -29,9 +29,9 @@ class PKUVideoInfo:
 
 
 def parse_pku_name(fname: str) -> PKUVideoInfo:
-    """File names like ``0291-R_A05.npy``: camera letter at index 7,
-    action = last two digits before the extension
-    (dataset_of_lin.py:264-272)."""
+    """Camera letter at character index 7, action = last two digits before
+    the extension — e.g. ``0291-02R_A05.npy`` -> camera R, action 5
+    (dataset_of_lin.py:264-272: ``vid_name[7:8]`` / ``vid_name[-6:-4]``)."""
     stem = fname[:-4] if fname.endswith(".npy") else fname
     camera = fname[7:8]
     action = int(stem[-2:])

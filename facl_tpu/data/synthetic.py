@@ -46,6 +46,36 @@ def synthetic_ntu_names(num: int, rng: np.random.Generator,
     return names
 
 
+def write_random_tree(root: str, num_videos: int = 128, seed: int = 0,
+                      sample_num: int = 2048, app_frames: int = 10
+                      ) -> Sequence[str]:
+    """Random-VALUE tree in the generated on-disk layout (raw (N,8),
+    key (N,8), app (A,N,4)) — for host-pipeline throughput benchmarking
+    where datagen cost would dominate; values are plausible-scale
+    (normalized coords ~[-1,1]) but meaningless. Use
+    ``write_synthetic_dataset`` when the *content* matters."""
+    rng = np.random.default_rng(seed)
+    names = sorted(set(synthetic_ntu_names(num_videos * 4, rng)))
+    if len(names) < num_videos:
+        raise ValueError(f"could not draw {num_videos} unique names")
+    names = names[:num_videos]
+    for res in (60, 30, 10):
+        res_dir = os.path.join(root, f"Resolution{res}")
+        for sub in ("raw", "others", "app"):
+            os.makedirs(os.path.join(res_dir, sub), exist_ok=True)
+        for name in names:
+            raw = (rng.standard_normal((sample_num, 8)) * 0.3
+                   ).astype(np.float32)
+            key = (rng.standard_normal((sample_num, 8)) * 0.3
+                   ).astype(np.float32)
+            app = (rng.standard_normal((app_frames, sample_num, 4)) * 0.3
+                   ).astype(np.float32)
+            np.save(os.path.join(res_dir, "raw", name + ".npy"), raw)
+            np.save(os.path.join(res_dir, "others", name + "_key.npy"), key)
+            np.save(os.path.join(res_dir, "app", name + "_app.npy"), app)
+    return names
+
+
 def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
                             datagen_cfg: Optional[DatagenConfig] = None
                             ) -> Sequence[str]:

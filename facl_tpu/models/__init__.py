@@ -1,5 +1,5 @@
 from facl_tpu.models.layers import EmbedHead, PointMLP, l2_normalize
-from facl_tpu.models.pointnet import PointNetPlus, PointNetPlusFine
+from facl_tpu.models.pointnet import PointNetPlus, resolve_model
 from facl_tpu.models.slowfast import PointNetSlowFast
 from facl_tpu.models.probe import LinearProbe
 from facl_tpu.models import moco
@@ -9,7 +9,7 @@ __all__ = [
     "PointMLP",
     "l2_normalize",
     "PointNetPlus",
-    "PointNetPlusFine",
+    "resolve_model",
     "PointNetSlowFast",
     "LinearProbe",
     "moco",

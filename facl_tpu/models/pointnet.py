@@ -6,7 +6,8 @@ TPU-native re-design of the reference encoders (cn3d_model_conbag.py):
   4-output forward* (the one the drivers unpack; active verbatim in
   ``PointNet_Plus_fine.forward`` at :213-234 — SURVEY §2 flags the shipped
   ``PointNet_Plus.forward`` as dead-coded to 1 output).
-* ``PointNetPlusFine`` — cn3d_model_conbag.py:141-234 (S=32, K=128 variant).
+* ``resolve_model``   — name-based selection incl. the 'fine' variant
+  (cn3d_model_conbag.py:141-234; S=32, K=128 grouping, identical layers).
 * Grouping happens *outside* the module (facl_tpu.ops.grouping), mirroring
   the reference split between ``group_points_3DV`` and the nn.Module.
 
@@ -29,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from facl_tpu.config import ModelConfig
+from facl_tpu.config import GroupingConfig, ModelConfig
 from facl_tpu.models.layers import EmbedHead, PointMLP, l2_normalize
 from facl_tpu.models.sa_stage import SetAbstractionStage
 
@@ -64,6 +65,11 @@ class PointNetPlus(nn.Module):
         G = self.cfg.num_crops
         GB, S, K, C = neighborhoods.shape
         B = GB // G
+        if C != self.cfg.in_features:
+            raise ValueError(
+                f"encoder configured for in_features={self.cfg.in_features} "
+                f"but got {C}-channel neighborhoods (INPUT_FEATURE_NUM, "
+                "cn3d_model_conbag.py:15)")
 
         dtype = jnp.dtype(self.cfg.compute_dtype)
         h = self.sa_stage(neighborhoods.astype(dtype), train=train)  # (GB,S,256)
@@ -87,15 +93,37 @@ class PointNetPlus(nn.Module):
         return x, code, x_nor, x_global
 
 
-def make_fine_config(cfg: ModelConfig) -> ModelConfig:
-    """The 'fine' variant only changes grouping geometry (S=32, K=128 —
-    cn3d_model_conbag.py:142); the network itself is identical, so reuse
-    PointNetPlus and group with these parameters."""
-    return cfg
+def resolve_model(cfg) -> Tuple[nn.Module, "GroupingConfig"]:
+    """Select the encoder + its *effective* grouping from ``ModelConfig.name``.
 
+    The reference's 'fine' variant (``PointNet_Plus_fine``,
+    cn3d_model_conbag.py:141-234) differs from ``PointNet_Plus`` only in
+    grouping geometry — sample_num_level1=32, knn_K=128 (:142) — the layer
+    stack is identical and our pooling is shape-polymorphic, so both names
+    map to :class:`PointNetPlus` grouped with the right (S, K).
 
-class PointNetPlusFine(PointNetPlus):
-    """Alias with the fine grouping defaults; the torch classes differ only
-    in sample_num_level1/knn_K used for pooling extents, which our
-    shape-polymorphic pooling handles automatically."""
-    pass
+    Args:
+      cfg: the full :class:`facl_tpu.config.Config`.
+    Returns:
+      (flax module, GroupingConfig actually used for this model).
+    Raises:
+      ValueError: unknown name, or ``slow_fast`` (two-pathway forward —
+        train it with ``facl_tpu.train.slowfast_trainer.SlowFastTrainer``).
+    """
+    import dataclasses
+
+    name = cfg.model.name
+    if name == "pointnet_plus":
+        return PointNetPlus(cfg.model), cfg.grouping
+    if name == "pointnet_plus_fine":
+        g = dataclasses.replace(cfg.grouping,
+                                num_centroids=cfg.model.fine_num_centroids,
+                                knn_k=cfg.model.fine_knn_k)
+        return PointNetPlus(cfg.model), g
+    if name == "slow_fast":
+        raise ValueError(
+            "model name 'slow_fast' has a two-pathway forward; use "
+            "facl_tpu.train.slowfast_trainer.SlowFastTrainer (the pretrain "
+            "CLI dispatches automatically)")
+    raise ValueError(f"unknown model name {name!r}; expected pointnet_plus, "
+                     "pointnet_plus_fine or slow_fast")

@@ -30,12 +30,45 @@ from facl_tpu.ops.fused_sa import (
 Array = jax.Array
 
 
+def covar_moments(h: Array, kernel: Array, bias: Array,
+                  precision=None) -> Tuple[Array, Array]:
+    """Batch statistics of ``p = h @ kernel + bias`` WITHOUT reducing p.
+
+    mean_c = mu_x @ W_:c + b_c           with mu_x = E_rows[h]
+    E[p^2]_c = (W^T Gram(h) W)_cc / n + b_c (2 mean_c - b_c)
+    var = E[p^2] - mean^2
+
+    The Gram matrix ``h^T h`` is a (C_in, C_in) MXU matmul over the layer
+    *input* — for the wide SA layers (C_in=64 -> C_out=256 over ~2.6M
+    rows) this removes the dominant HBM cost of BatchNorm training: the
+    f32 convert+reduce over the (rows, C_out) pre-activation tensor, and
+    (because nothing else consumes p) lets XLA fuse the whole
+    normalize+ReLU epilogue into the forward matmul. Mathematically
+    identical to E-over-rows of p and p^2 (same mean2 - mean^2
+    cancellation exposure as the direct form); gradients flow through
+    Gram/colsum instead of broadcast-reduce chains — also matmuls.
+    """
+    flat = h.reshape(-1, h.shape[-1])
+    n = flat.shape[0]
+    gram = jnp.einsum("ni,nj->ij", flat, flat,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)                    # (C_in, C_in)
+    sx = jnp.sum(flat.astype(jnp.float32), axis=0)            # (C_in,)
+    wf = kernel.astype(jnp.float32)
+    bf = bias.astype(jnp.float32)
+    mean = (sx @ wf) / n + bf
+    e2 = jnp.einsum("ic,ic->c", gram @ wf, wf,
+                    precision=precision) / n + bf * (2.0 * mean - bf)
+    var = e2 - mean * mean
+    return mean, var
+
+
 class SetAbstractionStage(nn.Module):
     widths: Sequence[int]
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
-    impl: str = "auto"           # auto | reference | pallas
+    impl: str = "auto"           # auto | reference | covar | pallas
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
@@ -68,9 +101,6 @@ class SetAbstractionStage(nn.Module):
             rows *= d
 
         if train:
-            # "auto" currently resolves to the reference path: the fused
-            # kernels beat XLA in isolation but lose inside the full
-            # training jit (fusion-island breakage) — see ModelConfig.
             use_pallas = self.impl == "pallas"
             if use_pallas:
                 flat = x.reshape(rows * K, C)
@@ -79,7 +109,13 @@ class SetAbstractionStage(nn.Module):
                     self.input_grad)
                 pooled = pooled.reshape(*lead, self.widths[-1])
             else:
-                pooled, stats = self._reference_4d(x, layers, train=True)
+                # "auto" resolves to Gram-matrix BN statistics ("covar"):
+                # same math, ~none of the pre-activation reduce traffic.
+                # "reference" keeps the direct convert+reduce form.
+                stats_mode = ("direct" if self.impl == "reference"
+                              else "covar")
+                pooled, stats = self._reference_4d(x, layers, train=True,
+                                                   stats_mode=stats_mode)
             if not self.is_initializing():
                 m = self.bn_momentum
                 for (mean_v, var_v), (mean, var) in zip(running, stats):
@@ -91,22 +127,34 @@ class SetAbstractionStage(nn.Module):
                 running=[(mv.value, vv.value) for mv, vv in running])
         return pooled.astype(self.dtype)
 
-    def _reference_4d(self, x: Array, layers, train: bool, running=None):
+    def _reference_4d(self, x: Array, layers, train: bool, running=None,
+                      stats_mode: str = "direct"):
         """Reference path on the native (..., K, C) layout — the exact op
         sequence flax Dense+BatchNorm+ReLU used (reductions over all
         non-channel axes, normalization via promoted arithmetic), which XLA
         fuses well. Mathematically identical to
-        facl_tpu.ops.fused_sa.sa_train_reference."""
+        facl_tpu.ops.fused_sa.sa_train_reference.
+
+        ``stats_mode="covar"`` computes the SAME batch moments from the
+        input Gram matrix (see :func:`covar_moments`) — equal values up to
+        float round-off, far less HBM traffic."""
         h = x.astype(self.dtype)
         axes = tuple(range(h.ndim - 1))
+        # Strict f32 parity mode keeps full matmul precision for moments.
+        prec = (jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.float32 else None)
         stats = []
         for i, lp in enumerate(layers):
             p = h @ lp.kernel.astype(self.dtype) + lp.bias.astype(self.dtype)
             if train:
-                pf32 = p.astype(jnp.float32)
-                mean = jnp.mean(pf32, axis=axes)
-                mean2 = jnp.mean(jnp.square(pf32), axis=axes)
-                var = mean2 - jnp.square(mean)
+                if stats_mode == "covar":
+                    mean, var = covar_moments(h, lp.kernel, lp.bias,
+                                              precision=prec)
+                else:
+                    pf32 = p.astype(jnp.float32)
+                    mean = jnp.mean(pf32, axis=axes)
+                    mean2 = jnp.mean(jnp.square(pf32), axis=axes)
+                    var = mean2 - jnp.square(mean)
                 stats.append((mean, var))
             else:
                 mean, var = running[i]

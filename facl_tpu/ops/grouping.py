@@ -129,6 +129,16 @@ def group_points(
     return grouped, centers
 
 
+def resolve_gather_impl(cfg: GroupingConfig) -> str:
+    """Config-driven gather selection. ``"auto"`` resolves to the XLA
+    gather when multiple devices are visible without a shard_map mesh
+    (GSPMD can partition XLA's gather; the Pallas kernel cannot be
+    partitioned by GSPMD) — an explicit "pallas"/"xla" is always honored."""
+    if cfg.gather_impl == "auto" and len(jax.devices()) > 1:
+        return "xla"
+    return cfg.gather_impl
+
+
 def group_points_cfg(points: Array, cfg: GroupingConfig) -> Tuple[Array, Array]:
     return group_points(
         points,
@@ -136,6 +146,7 @@ def group_points_cfg(points: Array, cfg: GroupingConfig) -> Tuple[Array, Array]:
         knn_k=cfg.knn_k,
         radius_sq=cfg.radius_sq,
         method=cfg.method,
+        gather_impl=cfg.gather_impl,
     )
 
 

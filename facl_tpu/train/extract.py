@@ -34,14 +34,19 @@ def features_from_outputs(x: np.ndarray, x_global: np.ndarray,
 
 def extract_features(model, variables, cfg: Config,
                      batches: Iterable[Tuple[Array, np.ndarray, list]],
-                     out_dir: Optional[str] = None
+                     out_dir: Optional[str] = None,
+                     grouping=None, eval_step=None
                      ) -> Dict[str, np.ndarray]:
     """Run extraction over an iterator of (crops (G,B,N,C), labels, names).
 
     Returns {video_name: (11*D,) feature}; also writes one .npy per video
     under ``out_dir`` when given (the reference's on-disk contract).
+
+    ``grouping`` is the model's effective GroupingConfig (fine variant);
+    pass a prebuilt ``eval_step`` to reuse one compile across calls.
     """
-    eval_step = make_eval_step(model, cfg)
+    if eval_step is None:
+        eval_step = make_eval_step(model, cfg, grouping=grouping)
     G = cfg.model.num_crops
     feats: Dict[str, np.ndarray] = {}
     if out_dir:

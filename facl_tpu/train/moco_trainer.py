@@ -44,8 +44,9 @@ def make_moco_step(model, optimizer, cfg: Config,
 
     views: (2, B, N, C) — query and key crops of the same videos.
     """
+    from facl_tpu.ops.grouping import resolve_gather_impl
     g = cfg.grouping
-    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+    gather_impl = resolve_gather_impl(g)
 
     def encode(params, batch_stats, points, train):
         neigh, cent = group_points(points, g.num_centroids, g.knn_k,

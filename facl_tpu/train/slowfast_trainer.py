@@ -35,8 +35,9 @@ class SlowFastTrainState:
 def make_slowfast_step(model, optimizer, cfg: Config,
                        slow_k: int = 128, fast_k: int = 64) -> Callable:
     """step(state, points (B, N, C), key) -> (state, metrics)."""
+    from facl_tpu.ops.grouping import resolve_gather_impl
     g = cfg.grouping
-    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+    gather_impl = resolve_gather_impl(g)
 
     def group_two(points):
         slow_n, _ = group_points(points, g.num_centroids,

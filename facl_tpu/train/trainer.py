@@ -23,8 +23,8 @@ from facl_tpu.losses import (
     swav_loss,
     swav_queue_init,
 )
-from facl_tpu.models import PointNetPlus
-from facl_tpu.ops.grouping import group_points
+from facl_tpu.models import resolve_model
+from facl_tpu.ops.grouping import group_points, resolve_gather_impl
 from facl_tpu.train.optim import make_optimizer
 from facl_tpu.train.state import TrainState
 
@@ -38,9 +38,10 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
     multi-device ``mesh``: shard_map over the batch axis — grouping is
     row-independent, so each shard runs the single-device kernel on its
     slice and the Pallas gather stays usable on pods. Without a mesh but
-    with multiple devices visible, fall back to the XLA gather (GSPMD can
-    partition it)."""
-    def group4d(points4d, gather_impl="auto"):
+    with multiple devices visible, ``gather_impl="auto"`` resolves to the
+    XLA gather (GSPMD can partition it; the Pallas kernel can't) — but an
+    explicit ``gather_impl`` from the config is always honored."""
+    def group4d(points4d, gather_impl=g_cfg.gather_impl):
         G, B, N, C = points4d.shape
         flat = points4d.reshape(G * B, N, C)
         neigh, cent = group_points(
@@ -61,20 +62,22 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
             return out
 
         return grouped
-    if len(jax.devices()) > 1:
-        return lambda p: group4d(p, "xla")
-    return group4d
+    impl = resolve_gather_impl(g_cfg)
+    return lambda p: group4d(p, impl)
 
 
 def make_train_step(model, optimizer, cfg: Config,
-                    donate: bool = True, mesh=None) -> Callable:
+                    donate: bool = True, mesh=None,
+                    grouping=None) -> Callable:
     """Build the jit-compiled training step.
 
     step(state, points, key, epoch) -> (state, metrics)
       points: (G, B, N, C) crop-major batch of 10-crop clips.
       epoch:  () int32 — drives the SwAV queue gate.
+      grouping: effective GroupingConfig (defaults to cfg.grouping; the
+        fine model variant overrides S/K via models.resolve_model).
     """
-    g_cfg = cfg.grouping
+    g_cfg = grouping or cfg.grouping
     l_cfg = cfg.loss
     grouping_fn = make_grouping_fn(g_cfg, mesh)
 
@@ -151,12 +154,11 @@ def make_train_step(model, optimizer, cfg: Config,
     return jax.jit(train_step, donate_argnums=donate_args)
 
 
-def make_eval_step(model, cfg: Config) -> Callable:
+def make_eval_step(model, cfg: Config, grouping=None) -> Callable:
     """Jit extraction step: points -> (x (G*B,D), x_global (B,D)) using
     running BN stats (extract_*_feature.py:171-182)."""
-    g_cfg = cfg.grouping
-
-    gather_impl = "xla" if len(jax.devices()) > 1 else "auto"
+    g_cfg = grouping or cfg.grouping
+    gather_impl = resolve_gather_impl(g_cfg)
 
     def eval_step(variables, points):
         G, B, N, C = points.shape
@@ -180,18 +182,21 @@ class Trainer:
         self.cfg = cfg
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh
-        self.model = model or PointNetPlus(cfg.model)
+        if model is None:
+            self.model, self.g_cfg = resolve_model(cfg)
+        else:
+            self.model, self.g_cfg = model, cfg.grouping
         self.optimizer = make_optimizer(cfg.train.optim, steps_per_epoch)
         self.step_fn = make_train_step(self.model, self.optimizer, cfg,
-                                       mesh=mesh)
+                                       mesh=mesh, grouping=self.g_cfg)
 
     def init_state(self, rng: Array, sample_points: Array) -> TrainState:
         """sample_points: (G, B, N, C) — used for shape inference only."""
         G, B, N, C = sample_points.shape
         flat = sample_points.reshape(G * B, N, C)
         neigh, cent = group_points(
-            flat, self.cfg.grouping.num_centroids, self.cfg.grouping.knn_k,
-            self.cfg.grouping.radius_sq, self.cfg.grouping.method)
+            flat, self.g_cfg.num_centroids, self.g_cfg.knn_k,
+            self.g_cfg.radius_sq, self.g_cfg.method)
         variables = self.model.init(rng, neigh, cent, train=False)
         queue = None
         if self.cfg.loss.use_swav:

@@ -90,6 +90,45 @@ def test_mesh_aware_grouping_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
 
 
+def test_swav_and_cld_under_mesh(rng):
+    """SwAV (queue state) and CLD run sharded over the 8-device dp mesh and
+    match the unsharded step — removes the round-1 'plumbed but
+    unexercised' caveat (reference: cn3d_train_apperance_GL.py:215-263)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = cfg.replace(loss=LossConfig(use_swav=True, use_cld=True,
+                                      cld_clusters=4, cld_kmeans_iters=2,
+                                      swav_queue_start_epoch=0),
+                      train=dataclasses.replace(cfg.train, batch_size=8))
+    G, B, N, C = cfg.model.num_crops, 8, 32, 4
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    ep = jnp.asarray(0)
+
+    tr = Trainer(cfg, steps_per_epoch=10)
+    s1 = tr.init_state(jax.random.PRNGKey(0), batch)
+    s1, m1 = tr.step_fn(s1, batch, key, ep)
+    assert s1.swav_queue is not None
+
+    mesh = make_mesh(MeshConfig(dp=8, mp=1))
+    trm = Trainer(cfg, steps_per_epoch=10, mesh=mesh)
+    s2 = trm.init_state(jax.random.PRNGKey(0), batch)
+    s2 = s2.replace(
+        params=jax.device_put(s2.params, param_sharding(mesh, s2.params)),
+        swav_queue=jax.device_put(s2.swav_queue, NamedSharding(mesh, P())))
+    sharded = jax.device_put(batch, NamedSharding(mesh, P(None, "dp")))
+    s2, m2 = trm.step_fn(s2, sharded, key, ep)
+
+    for k in ("loss", "loss_swav", "loss_cld"):
+        assert np.isfinite(float(m1[k])), k
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.swav_queue),
+                               np.asarray(s2.swav_queue),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_mesh_aware_trainer_step(rng):
     """Full step with a mesh-aware trainer on the dp mesh matches the
     meshless trainer."""
