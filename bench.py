@@ -40,11 +40,18 @@ def main() -> None:
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # BENCH_SA_IMPL: reference (direct BN reduce) | covar (Gram-matrix
-    # stats, default) | pallas (fused kernels).
+    # stats) | pallas (fused kernels).
     sa_impl = os.environ.get("BENCH_SA_IMPL", cfg.model.sa_impl)
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype,
                                                 sa_impl=sa_impl))
+    # BENCH_SELECT_IMPL / BENCH_GATHER_IMPL: auto | xla | pallas.
+    cfg = cfg.replace(grouping=dataclasses.replace(
+        cfg.grouping,
+        select_impl=os.environ.get("BENCH_SELECT_IMPL",
+                                   cfg.grouping.select_impl),
+        gather_impl=os.environ.get("BENCH_GATHER_IMPL",
+                                   cfg.grouping.gather_impl)))
     G = cfg.model.num_crops              # 10
     B = int(os.environ.get("BENCH_BATCH", cfg.train.batch_size))  # 64
     N = cfg.data.num_points              # 512

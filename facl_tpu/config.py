@@ -26,6 +26,14 @@ class GroupingConfig:
     knn_k: int = 64
     radius_sq: float = 0.06
     method: str = "exact"        # "exact" (lax.top_k) | "approx" (lax.approx_min_k)
+    # Neighbor *selection* implementation for method="exact":
+    # "xla" = pairwise dists -> lax.top_k -> radius override;
+    # "pallas" = the fused in-VMEM select kernel (ops/pallas/select.py) —
+    # same index SET (exact, deterministic ties), order within the K
+    # selected differs (downstream is order-invariant: Dense is per-point,
+    # BN stats and the K max-pool reduce over the neighbor axis);
+    # "auto" picks pallas on TPU, xla elsewhere.
+    select_impl: str = "auto"
     # Neighborhood gather implementation: "auto" picks the Pallas in-VMEM
     # one-hot kernel on TPU and XLA's take_along_axis elsewhere (incl. the
     # no-mesh multi-device case, where GSPMD must partition the gather);

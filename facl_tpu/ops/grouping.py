@@ -70,8 +70,16 @@ def _use_pallas_gather() -> bool:
         return False
 
 
+def _interpret_pallas() -> bool:
+    """Pallas TPU kernels run interpreted on the CPU backend (tests)."""
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("num_centroids", "knn_k", "method",
-                                   "gather_impl"))
+                                   "gather_impl", "select_impl"))
 def group_points(
     points: Array,
     num_centroids: int = 64,
@@ -79,6 +87,7 @@ def group_points(
     radius_sq: float = 0.06,
     method: str = "exact",
     gather_impl: str = "auto",
+    select_impl: str = "auto",
 ) -> Tuple[Array, Array]:
     """Ball-query/kNN grouping (semantics of utils_my.py:255-291).
 
@@ -92,6 +101,12 @@ def group_points(
       gather_impl: "auto" | "xla" | "pallas". On TPU, "pallas" uses the
         in-VMEM one-hot matmul kernel (facl_tpu.ops.pallas.gather) —
         bit-exact and ~6x faster than XLA's gather; "auto" picks it on TPU.
+      select_impl: "auto" | "xla" | "pallas". "pallas" computes the kNN +
+        ball-query index set with the fused in-VMEM kernel
+        (facl_tpu.ops.pallas.select) instead of dists -> lax.top_k ->
+        radius override — same exact index set, neighbor order within the
+        K selected differs (downstream ops reduce over that axis).
+        "auto" picks pallas on TPU for method="exact".
 
     Returns:
       neighborhoods: (B, S, K, C) gathered features, xyz re-centered.
@@ -107,19 +122,27 @@ def group_points(
     xyz = points[..., :3]
     centers = xyz[:, :S, :]                                # (B, S, 3)
 
-    sqd = pairwise_sqdist(centers, xyz)                    # (B, S, N)
-    dists, idx = knn_indices(sqd, K, method)               # (B, S, K)
-
-    # Ball query: out-of-radius neighbor -> the centroid's own index, making
-    # the centroid feature the pad value (utils_my.py:272-275).
-    centroid_rows = jnp.arange(S, dtype=idx.dtype)[None, :, None]
-    idx = jnp.where(dists > radius_sq, centroid_rows, idx)
+    use_pallas_select = method == "exact" and (
+        select_impl == "pallas" or
+        (select_impl == "auto" and _use_pallas_gather()))
+    if use_pallas_select:
+        from facl_tpu.ops.pallas.select import select_knn_ball
+        idx = select_knn_ball(points, S, K, radius_sq,
+                              interpret=_interpret_pallas())
+    else:
+        sqd = pairwise_sqdist(centers, xyz)                # (B, S, N)
+        dists, idx = knn_indices(sqd, K, method)           # (B, S, K)
+        # Ball query: out-of-radius neighbor -> the centroid's own index,
+        # making the centroid feature the pad value (utils_my.py:272-275).
+        centroid_rows = jnp.arange(S, dtype=idx.dtype)[None, :, None]
+        idx = jnp.where(dists > radius_sq, centroid_rows, idx)
 
     use_pallas = gather_impl == "pallas" or (
         gather_impl == "auto" and _use_pallas_gather())
     if use_pallas:
         from facl_tpu.ops.pallas.gather import gather_rows_vjp
-        grouped = gather_rows_vjp(points, idx.reshape(B, S * K))
+        grouped = gather_rows_vjp(points, idx.reshape(B, S * K),
+                                  _interpret_pallas())
         grouped = grouped.reshape(B, S, K, C)
     else:
         grouped = jnp.take_along_axis(
@@ -139,6 +162,15 @@ def resolve_gather_impl(cfg: GroupingConfig) -> str:
     return cfg.gather_impl
 
 
+def resolve_select_impl(cfg: GroupingConfig) -> str:
+    """Same rule for the neighbor-selection kernel: "auto" downgrades to
+    the XLA composite when GSPMD (not shard_map) would have to partition
+    it; explicit choices are honored."""
+    if cfg.select_impl == "auto" and len(jax.devices()) > 1:
+        return "xla"
+    return cfg.select_impl
+
+
 def group_points_cfg(points: Array, cfg: GroupingConfig) -> Tuple[Array, Array]:
     return group_points(
         points,
@@ -147,6 +179,7 @@ def group_points_cfg(points: Array, cfg: GroupingConfig) -> Tuple[Array, Array]:
         radius_sq=cfg.radius_sq,
         method=cfg.method,
         gather_impl=cfg.gather_impl,
+        select_impl=cfg.select_impl,
     )
 
 

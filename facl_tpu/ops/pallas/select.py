@@ -4,8 +4,13 @@ Replaces the XLA composite ``pairwise_sqdist -> lax.top_k -> radius
 override`` (semantics: utils_my.py:255-291) for the training hot path.
 The (B, S, N) distance matrix never leaves VMEM and the O(N log N)
 top_k sort is replaced by an exact k-th-value binary search on the
-monotonic f32 bit pattern — on the reference workload the XLA composite
-costs ~8.5 ms/step (dist 3 + sort 5.5), this kernel ~1-2 ms.
+monotonic f32 bit pattern.
+
+Blocking: each grid step processes ``rb`` batch rows at once, stacking
+their (S, N) problems into one (rb*S, N) tile — the binary search and the
+compaction loop are serial chains of cheap vector ops, so one-row tiles
+leave the VPU latency-bound (measured: slower than the XLA composite at
+rb=1, ~3x faster at rb=8 on the reference workload's 640x(64,512)).
 
 Semantics vs the XLA composite
 ------------------------------
@@ -17,14 +22,15 @@ ascending point index with the centroid-padding at the tail. Everything
 downstream of the gather is order-invariant (Dense is per-point, BN
 statistics and the K max-pool reduce over the neighbor axis), so model
 outputs are unchanged up to float reduction order; tests assert set
-equality against the composite and output equality through the SA stage.
+equality against the composite and output equality through group_points.
 
 Tie-breaking is exact and deterministic: among equal distances, smaller
 point index wins (ties are common on real data — resampling duplicates
 points). The k-th-value search runs on ``bitcast(d, int32)``, which is
 order-isomorphic to d for d >= 0; prefix counts for tie resolution and
-selection ranks ride the MXU as {0,1}-matrix x strict-upper-triangular
-matmuls (exact: integer values < 2^24 in f32 accumulation).
+selection ranks ride the MXU as {0,1}-mask x strict-upper-triangular
+matmuls (exact: 0/1 values are exact in bf16 and the counts < 2^24
+accumulate in f32).
 """
 from __future__ import annotations
 
@@ -37,117 +43,165 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_INT_MAX = jnp.int32(2**31 - 1)
+# Plain Python int: a jnp scalar here would be captured by the kernel as a
+# traced constant, which pallas_call rejects.
+_INT_MAX = 2**31 - 1
 
 
-def _make_select_kernel(S: int, K: int, N: int, radius_sq: float,
-                        bits_iters: int):
-    def kernel(pts_ref, out_ref):
-        # pts_ref: (1, 3, N) f32 — xyz transposed; first S columns are the
-        #          centroids. out_ref: (1, S, K) int32.
-        xyz_t = pts_ref[0, :, :]                                 # (3, N)
-        cent_t = xyz_t[:, :S]                                    # (3, S)
+def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
+    R = rb * S  # stacked rows per grid step
 
-        # Squared distances, mirroring ops.grouping.pairwise_sqdist:
-        # a2 - 2ab + b2, clamped at 0.  (S, N) stays in VMEM.
-        ab = jax.lax.dot_general(
-            cent_t, xyz_t, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                 # (S, N)
-        c2 = jnp.sum(cent_t * cent_t, axis=0)[:, None]           # (S, 1)
-        p2 = jnp.sum(xyz_t * xyz_t, axis=0)[None, :]             # (1, N)
-        d = jnp.maximum(c2 - 2.0 * ab + p2, 0.0)                 # (S, N)
+    def kernel(radius_ref, pts_ref, out_ref):
+        # radius_ref: (1, 1) f32 in SMEM — squared ball radius (dynamic so
+        #          group_points stays jit-traceable in it).
+        # pts_ref: (rb, 3, N) f32 — xyz transposed; per batch row, the
+        #          first S columns are the centroids.
+        # out_ref: (rb, S, K) int32.
+        radius_sq = radius_ref[0, 0]
+
+        # Per-row distance blocks, stacked on sublanes: row r*S+s holds the
+        # squared distances of batch row r's centroid s to its N points.
+        # (Mirrors ops.grouping.pairwise_sqdist: a2 - 2ab + b2, clamped.)
+        blocks = []
+        for r in range(rb):
+            xyz_t = pts_ref[r, :, :]                             # (3, N)
+            cent_t = xyz_t[:, :S]                                # (3, S)
+            ab = jax.lax.dot_general(
+                cent_t, xyz_t, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)             # (S, N)
+            c2 = jnp.sum(cent_t * cent_t, axis=0)[:, None]       # (S, 1)
+            p2 = jnp.sum(xyz_t * xyz_t, axis=0)[None, :]         # (1, N)
+            blocks.append(jnp.maximum(c2 - 2.0 * ab + p2, 0.0))
+        d = jnp.concatenate(blocks, axis=0)                      # (R, N)
 
         # Monotone integer keys; out-of-radius -> +inf key (the composite
         # keeps d == radius_sq: strict `>` drops, utils_my.py:272-275).
         bits = jax.lax.bitcast_convert_type(d, jnp.int32)
-        w = jnp.where(d <= radius_sq, bits, _INT_MAX)            # (S, N)
+        w = jnp.where(d <= radius_sq, bits, _INT_MAX)            # (R, N)
 
         # Exact k-th smallest per row: branchless binary search on the
         # key value. 31 iterations pin every bit of the int32 key.
         def bisect(_, carry):
-            lo, hi = carry                                       # (S, 1)
+            lo, hi = carry                                       # (R, 1)
             mid = lo + ((hi - lo) >> 1)
             cnt = jnp.sum((w <= mid).astype(jnp.float32), axis=1,
-                          keepdims=True)                         # (S, 1)
+                          keepdims=True)                         # (R, 1)
             take = cnt >= float(K)
             return (jnp.where(take, lo, mid + 1),
                     jnp.where(take, mid, hi))
 
-        lo0 = jnp.zeros((S, 1), jnp.int32)
-        hi0 = jnp.full((S, 1), _INT_MAX, jnp.int32)
+        lo0 = jnp.zeros((R, 1), jnp.int32)
+        hi0 = jnp.full((R, 1), _INT_MAX, jnp.int32)
         _, t = jax.lax.fori_loop(0, bits_iters, bisect, (lo0, hi0))
 
         # Selection mask with exact smaller-index-first tie resolution.
-        less = (w < t).astype(jnp.float32)                       # (S, N)
+        less = (w < t).astype(jnp.float32)                       # (R, N)
         valid_t = (t < _INT_MAX)
         tie = jnp.logical_and(w == t, valid_t).astype(jnp.float32)
-        n_less = jnp.sum(less, axis=1, keepdims=True)            # (S, 1)
+        n_less = jnp.sum(less, axis=1, keepdims=True)            # (R, 1)
         m = jnp.asarray(float(K), jnp.float32) - n_less          # ties to take
 
         # Exclusive prefix counts along the point axis via a strict upper
-        # triangular matmul (exact in f32 for counts < 2^24).
+        # triangular matmul. bf16 mask inputs are exact (0/1 values) and
+        # the counts < 2^24 accumulate in f32.
         rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        upper = (rows < cols).astype(jnp.float32)                # (N, N)
+        upper = (rows < cols).astype(jnp.bfloat16)               # (N, N)
 
         def prefix(mask):
             return jax.lax.dot_general(
-                mask, upper, dimension_numbers=(((1,), (0,)), ((), ())),
+                mask.astype(jnp.bfloat16), upper,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         tie_rank = prefix(tie)
-        sel = less + tie * (tie_rank < m).astype(jnp.float32)    # (S, N)
-        rank = prefix(sel)                                       # (S, N)
-        n_sel = jnp.sum(sel, axis=1, keepdims=True)              # (S, 1)
+        sel = less + tie * (tie_rank < m).astype(jnp.float32)    # (R, N)
+        rank = prefix(sel)                                       # (R, N)
+        n_sel = jnp.sum(sel, axis=1, keepdims=True)              # (R, 1)
 
-        # Compact: slot q of row s gets the point with rank q. Flatten
-        # (S, K) onto sublanes so the hit matrix stays 2-D.
+        # Compact: slot q gets the point with rank q. A K-slot fori_loop
+        # keeps every intermediate 2-D (Mosaic rejects (R*K, N) reshapes
+        # across lanes, and dynamic-lane-offset stores don't exist), with
+        # the masked index extraction as an MXU contraction.
         # rank' = rank where selected else -1.
-        rank_sel = jnp.where(sel > 0.5, rank, -1.0)              # (S, N)
-        rank_b = jnp.broadcast_to(rank_sel[:, None, :], (S, K, N)
-                                  ).reshape(S * K, N)
-        q_col = jax.lax.broadcasted_iota(jnp.float32, (S, K), 1
-                                         ).reshape(S * K, 1)
-        hit = (rank_b == q_col).astype(jnp.float32)              # (S*K, N)
-        col_idx = jax.lax.broadcasted_iota(
-            jnp.float32, (N, 1), 0)                              # (N, 1)
-        idx_f = jax.lax.dot_general(
-            hit, col_idx, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(S, K)
+        rank_sel = jnp.where(sel > 0.5, rank, -1.0)              # (R, N)
+        # Index-extraction columns: n = 256*a + b with a, b <= 255, each
+        # exact in bf16 — the default TPU matmul precision truncates inputs
+        # to bf16, and HIGHEST costs ~3x here (device-measured). Mosaic
+        # only supports integer iota — build as i32, cast to f32.
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        col_ab = jnp.concatenate(
+            [(n_iota >> 8).astype(jnp.float32),
+             (n_iota & 255).astype(jnp.float32)], axis=1)        # (N, 2)
+        # Centroid index of each stacked row: row r*S+s -> s.
+        s_col = jnp.remainder(
+            jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0),
+            jnp.int32(S)).astype(jnp.float32)                    # (R, 1)
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
 
-        # Pad the tail slots (q >= n_sel) with the centroid's own index —
-        # the composite's radius override picks the centroid feature.
-        q_iota = jax.lax.broadcasted_iota(jnp.float32, (S, K), 1)
-        s_iota = jax.lax.broadcasted_iota(jnp.float32, (S, K), 0)
-        idx_f = jnp.where(q_iota < n_sel, idx_f, s_iota)
-        out_ref[0, :, :] = idx_f.astype(jnp.int32)
+        def slot(q, acc):
+            qf = q.astype(jnp.float32)
+            hit_q = (rank_sel == qf).astype(jnp.float32)         # (R, N)
+            ab = jax.lax.dot_general(
+                hit_q, col_ab, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (R, 2)
+            idx_q = 256.0 * ab[:, :1] + ab[:, 1:2]               # (R, 1)
+            # Tail slots (q >= n_sel) pad with the centroid's own index —
+            # the composite's radius override picks the centroid feature.
+            idx_q = jnp.where(qf < n_sel, idx_q, s_col)
+            # Accumulate into the (R, K) result in-register.
+            return jnp.where(q_iota == q, idx_q, acc)
+
+        acc = jax.lax.fori_loop(0, K, slot,
+                                jnp.zeros((R, K), jnp.float32))
+        acc = acc.astype(jnp.int32)
+        for r in range(rb):
+            out_ref[r, :, :] = acc[r * S:(r + 1) * S, :]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("num_centroids", "knn_k", "radius_sq",
-                                   "interpret"))
+def _rows_per_block(B: int, S: int, N: int) -> int:
+    """Largest power-of-two batch-rows-per-grid-step that divides B and
+    keeps the stacked (rb*S, N) working set comfortably inside VMEM
+    (~6 live f32 tiles + the (N, N) bf16 triangular)."""
+    budget = 10 * 1024 * 1024 - 2 * N * N
+    rb = 8
+    while rb > 1 and (B % rb or rb * S * N * 4 * 6 > budget):
+        rb //= 2
+    return rb
+
+
+@partial(jax.jit, static_argnames=("num_centroids", "knn_k", "interpret"))
 def select_knn_ball(points: Array, num_centroids: int, knn_k: int,
-                    radius_sq: float, interpret: bool = False) -> Array:
+                    radius_sq, interpret: bool = False) -> Array:
     """Fused kNN + ball-query index selection.
 
     points: (B, N, C) with xyz in channels 0:3; the first
-    ``num_centroids`` points are the centroids. Returns (B, S, K) int32 —
-    same index set as ``top_k`` + radius override, selected in-radius
-    points in ascending index order, centroid-padding at the tail.
+    ``num_centroids`` points are the centroids. ``radius_sq`` may be a
+    traced scalar (it enters the kernel through SMEM). Returns (B, S, K)
+    int32 — same index set as ``top_k`` + radius override, selected
+    in-radius points in ascending index order, centroid-padding at the
+    tail.
     """
     B, N, C = points.shape
     S, K = num_centroids, knn_k
     xyz_t = jnp.swapaxes(points[..., :3].astype(jnp.float32), 1, 2)
+    radius = jnp.asarray(radius_sq, jnp.float32).reshape(1, 1)
+    rb = _rows_per_block(B, S, N)
 
     return pl.pallas_call(
-        _make_select_kernel(S, K, N, float(radius_sq), 31),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, S, K), lambda b: (b, 0, 0),
+        _make_select_kernel(rb, S, K, N, 31),
+        grid=(B // rb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, 3, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, S, K), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, K), jnp.int32),
         interpret=interpret,
-    )(xyz_t)
+    )(radius, xyz_t)

@@ -44,13 +44,15 @@ def make_moco_step(model, optimizer, cfg: Config,
 
     views: (2, B, N, C) — query and key crops of the same videos.
     """
-    from facl_tpu.ops.grouping import resolve_gather_impl
+    from facl_tpu.ops.grouping import (resolve_gather_impl,
+                                       resolve_select_impl)
     g = cfg.grouping
     gather_impl = resolve_gather_impl(g)
+    select_impl = resolve_select_impl(g)
 
     def encode(params, batch_stats, points, train):
         neigh, cent = group_points(points, g.num_centroids, g.knn_k,
-                                   g.radius_sq, g.method, gather_impl)
+                                   g.radius_sq, g.method, gather_impl, select_impl)
         if train:
             (x, _, _, _), mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},

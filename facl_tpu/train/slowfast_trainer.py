@@ -35,17 +35,19 @@ class SlowFastTrainState:
 def make_slowfast_step(model, optimizer, cfg: Config,
                        slow_k: int = 128, fast_k: int = 64) -> Callable:
     """step(state, points (B, N, C), key) -> (state, metrics)."""
-    from facl_tpu.ops.grouping import resolve_gather_impl
+    from facl_tpu.ops.grouping import (resolve_gather_impl,
+                                       resolve_select_impl)
     g = cfg.grouping
     gather_impl = resolve_gather_impl(g)
+    select_impl = resolve_select_impl(g)
 
     def group_two(points):
         slow_n, _ = group_points(points, g.num_centroids,
                                  min(slow_k, points.shape[1]), g.radius_sq,
-                                 g.method, gather_impl)
+                                 g.method, gather_impl, select_impl)
         fast_n, _ = group_points(points, g.num_centroids,
                                  min(fast_k, points.shape[1]), g.radius_sq,
-                                 g.method, gather_impl)
+                                 g.method, gather_impl, select_impl)
         return slow_n, fast_n
 
     def loss_fn(params, batch_stats, points):

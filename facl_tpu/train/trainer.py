@@ -24,7 +24,8 @@ from facl_tpu.losses import (
     swav_queue_init,
 )
 from facl_tpu.models import resolve_model
-from facl_tpu.ops.grouping import group_points, resolve_gather_impl
+from facl_tpu.ops.grouping import (group_points, resolve_gather_impl,
+                                   resolve_select_impl)
 from facl_tpu.train.optim import make_optimizer
 from facl_tpu.train.state import TrainState
 
@@ -41,12 +42,13 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
     with multiple devices visible, ``gather_impl="auto"`` resolves to the
     XLA gather (GSPMD can partition it; the Pallas kernel can't) — but an
     explicit ``gather_impl`` from the config is always honored."""
-    def group4d(points4d, gather_impl=g_cfg.gather_impl):
+    def group4d(points4d, gather_impl=g_cfg.gather_impl,
+                select_impl=g_cfg.select_impl):
         G, B, N, C = points4d.shape
         flat = points4d.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl)
+            g_cfg.method, gather_impl, select_impl)
         S, K = g_cfg.num_centroids, g_cfg.knn_k
         return (neigh.reshape(G, B, S, K, C), cent.reshape(G, B, S, 3))
 
@@ -62,8 +64,8 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
             return out
 
         return grouped
-    impl = resolve_gather_impl(g_cfg)
-    return lambda p: group4d(p, impl)
+    return lambda p: group4d(p, resolve_gather_impl(g_cfg),
+                             resolve_select_impl(g_cfg))
 
 
 def make_train_step(model, optimizer, cfg: Config,
@@ -159,13 +161,14 @@ def make_eval_step(model, cfg: Config, grouping=None) -> Callable:
     running BN stats (extract_*_feature.py:171-182)."""
     g_cfg = grouping or cfg.grouping
     gather_impl = resolve_gather_impl(g_cfg)
+    select_impl = resolve_select_impl(g_cfg)
 
     def eval_step(variables, points):
         G, B, N, C = points.shape
         flat = points.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl)
+            g_cfg.method, gather_impl, select_impl)
         x, code, x_nor, x_global = model.apply(
             variables, neigh, cent, train=False)
         return x, x_global
