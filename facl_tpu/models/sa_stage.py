@@ -109,11 +109,15 @@ class SetAbstractionStage(nn.Module):
                     self.input_grad)
                 pooled = pooled.reshape(*lead, self.widths[-1])
             else:
-                # "auto" resolves to Gram-matrix BN statistics ("covar"):
-                # same math, ~none of the pre-activation reduce traffic.
-                # "reference" keeps the direct convert+reduce form.
-                stats_mode = ("direct" if self.impl == "reference"
-                              else "covar")
+                # "covar" opts into Gram-matrix BN statistics: the same
+                # moments, ~none of the pre-activation reduce traffic on
+                # paper — but device-measured it REGRESSES the full step
+                # (the gradient through the Gram/colsum path schedules
+                # pathologically under XLA; round-2 matrix: reference
+                # 1838 clips/s, covar timed out at <~600). "auto"
+                # therefore resolves to the direct convert+reduce form,
+                # which XLA fuses best.
+                stats_mode = "covar" if self.impl == "covar" else "direct"
                 pooled, stats = self._reference_4d(x, layers, train=True,
                                                    stats_mode=stats_mode)
             if not self.is_initializing():

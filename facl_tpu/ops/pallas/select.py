@@ -120,44 +120,45 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
         rank = prefix(sel)                                       # (R, N)
         n_sel = jnp.sum(sel, axis=1, keepdims=True)              # (R, 1)
 
-        # Compact: slot q gets the point with rank q. A K-slot fori_loop
-        # keeps every intermediate 2-D (Mosaic rejects (R*K, N) reshapes
-        # across lanes, and dynamic-lane-offset stores don't exist), with
-        # the masked index extraction as an MXU contraction.
-        # rank' = rank where selected else -1.
-        rank_sel = jnp.where(sel > 0.5, rank, -1.0)              # (R, N)
-        # Index-extraction columns: n = 256*a + b with a, b <= 255, each
-        # exact in bf16 — the default TPU matmul precision truncates inputs
-        # to bf16, and HIGHEST costs ~3x here (device-measured). Mosaic
-        # only supports integer iota — build as i32, cast to f32.
-        n_iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-        col_ab = jnp.concatenate(
-            [(n_iota >> 8).astype(jnp.float32),
-             (n_iota & 255).astype(jnp.float32)], axis=1)        # (N, 2)
+        # Compact via log-shift stream compaction: selected element n must
+        # move LEFT by defect = n - rank[n] lanes to land at lane rank[n].
+        # Defects are monotone non-decreasing in n, so processing defect
+        # bits LSB->MSB keeps positions strictly ordered (equal remaining
+        # high bits preserve the rank gap; smaller high bits only widen
+        # it) — no two elements ever contend for a lane. log2(N) stages of
+        # roll+select replace a K-iteration one-hot loop (~5x less VPU
+        # work at K=64, device-measured on the kernel's critical path).
+        # Wrap-around is harmless: an element wrapped from lane p < 2^b
+        # has remaining defect <= p < 2^b, so its bit b is never set.
+        ranki = rank.astype(jnp.int32)                           # (R, N)
+        seli = sel > 0.5
+        n_row = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+        V = jnp.where(seli, n_row, -1)                           # payload
+        D = jnp.where(seli, n_row - ranki, 0)                    # defect
+
+        for b in range(max(1, (N - 1).bit_length())):
+            sh = 1 << b
+            # Left-rotate by sh == right-rotate by N - sh (pltpu.roll
+            # rejects negative shifts).
+            Vs = pltpu.roll(V, shift=N - sh, axis=1)
+            Ds = pltpu.roll(D, shift=N - sh, axis=1)
+            take = jnp.logical_and(Vs >= 0, ((Ds >> b) & 1) == 1)
+            keep = jnp.logical_and(V >= 0, ((D >> b) & 1) == 0)
+            V = jnp.where(take, Vs, jnp.where(keep, V, -1))
+            D = jnp.where(take, Ds - sh, jnp.where(keep, D, 0))
+
+        # Lane q < n_sel now holds the rank-q selected index; pad the tail
+        # slots with the centroid's own index — the composite's radius
+        # override picks the centroid feature.
         # Centroid index of each stacked row: row r*S+s -> s.
         s_col = jnp.remainder(
             jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0),
-            jnp.int32(S)).astype(jnp.float32)                    # (R, 1)
+            jnp.int32(S))                                        # (R, 1)
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
-
-        def slot(q, acc):
-            qf = q.astype(jnp.float32)
-            hit_q = (rank_sel == qf).astype(jnp.float32)         # (R, N)
-            ab = jax.lax.dot_general(
-                hit_q, col_ab, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # (R, 2)
-            idx_q = 256.0 * ab[:, :1] + ab[:, 1:2]               # (R, 1)
-            # Tail slots (q >= n_sel) pad with the centroid's own index —
-            # the composite's radius override picks the centroid feature.
-            idx_q = jnp.where(qf < n_sel, idx_q, s_col)
-            # Accumulate into the (R, K) result in-register.
-            return jnp.where(q_iota == q, idx_q, acc)
-
-        acc = jax.lax.fori_loop(0, K, slot,
-                                jnp.zeros((R, K), jnp.float32))
-        acc = acc.astype(jnp.int32)
+        idx = jnp.where(q_iota < n_sel.astype(jnp.int32), V[:, :K],
+                        jnp.broadcast_to(s_col, (R, K)))
         for r in range(rb):
-            out_ref[r, :, :] = acc[r * S:(r + 1) * S, :]
+            out_ref[r, :, :] = idx[r * S:(r + 1) * S, :]
 
     return kernel
 
