@@ -125,6 +125,19 @@ def group_points(
     use_pallas_select = method == "exact" and (
         select_impl == "pallas" or
         (select_impl == "auto" and _use_pallas_gather()))
+    use_pallas_gather = gather_impl == "pallas" or (
+        gather_impl == "auto" and _use_pallas_gather())
+
+    if use_pallas_select and use_pallas_gather:
+        # Fully fused: one kernel emits the gathered neighborhoods — the
+        # separate select+gather pair costs two passes over the same
+        # in-VMEM state.
+        from facl_tpu.ops.pallas.select import select_gather_knn_ball
+        grouped = select_gather_knn_ball(points, S, K, radius_sq,
+                                         _interpret_pallas())
+        grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+        return grouped, centers
+
     if use_pallas_select:
         from facl_tpu.ops.pallas.select import select_knn_ball
         idx = select_knn_ball(points, S, K, radius_sq,
@@ -137,9 +150,7 @@ def group_points(
         centroid_rows = jnp.arange(S, dtype=idx.dtype)[None, :, None]
         idx = jnp.where(dists > radius_sq, centroid_rows, idx)
 
-    use_pallas = gather_impl == "pallas" or (
-        gather_impl == "auto" and _use_pallas_gather())
-    if use_pallas:
+    if use_pallas_gather:
         from facl_tpu.ops.pallas.gather import gather_rows_vjp
         grouped = gather_rows_vjp(points, idx.reshape(B, S * K),
                                   _interpret_pallas())

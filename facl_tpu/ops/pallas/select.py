@@ -48,15 +48,19 @@ Array = jax.Array
 _INT_MAX = 2**31 - 1
 
 
-def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
+def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int,
+                        gather_channels: int = 0):
     R = rb * S  # stacked rows per grid step
+    C = gather_channels
 
-    def kernel(radius_ref, pts_ref, out_ref):
+    def kernel(radius_ref, pts_ref, out_ref, *grouped_ref):
         # radius_ref: (1, 1) f32 in SMEM — squared ball radius (dynamic so
         #          group_points stays jit-traceable in it).
-        # pts_ref: (rb, 3, N) f32 — xyz transposed; per batch row, the
-        #          first S columns are the centroids.
-        # out_ref: (rb, S, K) int32.
+        # pts_ref: (rb, C_in, N) f32 — features transposed, xyz in rows
+        #          0:3; per batch row, the first S columns are centroids.
+        # out_ref: (rb, S, K) int32 selected indices.
+        # grouped_ref (only when gather_channels): (rb, C, S, K) f32 —
+        #          the gathered (not yet re-centered) neighborhoods.
         radius_sq = radius_ref[0, 0]
 
         # Per-row distance blocks, stacked on sublanes: row r*S+s holds the
@@ -64,7 +68,7 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
         # (Mirrors ops.grouping.pairwise_sqdist: a2 - 2ab + b2, clamped.)
         blocks = []
         for r in range(rb):
-            xyz_t = pts_ref[r, :, :]                             # (3, N)
+            xyz_t = pts_ref[r, 0:3, :]                           # (3, N)
             cent_t = xyz_t[:, :S]                                # (3, S)
             ab = jax.lax.dot_general(
                 cent_t, xyz_t, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -136,6 +140,26 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
         V = jnp.where(seli, n_row, -1)                           # payload
         D = jnp.where(seli, n_row - ranki, 0)                    # defect
 
+        # Fused gather: the point features ride the same compaction as
+        # extra payload lanes — every channel c of batch row r is one
+        # (1, N) vector broadcast to that row's S stacked rows.
+        P = []
+        cent_feat = []
+        if C:
+            eye = (n_row == jnp.remainder(
+                jax.lax.broadcasted_iota(jnp.int32, (R, N), 0),
+                jnp.int32(S))).astype(jnp.float32)               # (R, N)
+            for c in range(C):
+                pc = jnp.concatenate(
+                    [jnp.broadcast_to(pts_ref[r, c:c + 1, :], (S, N))
+                     for r in range(rb)], axis=0)                # (R, N)
+                # The centroid's own feature value per stacked row (the
+                # ball-query pad value): lane n == s picked via the eye
+                # mask — no sublane<->lane transpose needed.
+                cent_feat.append(jnp.sum(pc * eye, axis=1,
+                                         keepdims=True))         # (R, 1)
+                P.append(pc)
+
         for b in range(max(1, (N - 1).bit_length())):
             sh = 1 << b
             # Left-rotate by sh == right-rotate by N - sh (pltpu.roll
@@ -145,6 +169,10 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
             take = jnp.logical_and(Vs >= 0, ((Ds >> b) & 1) == 1)
             keep = jnp.logical_and(V >= 0, ((D >> b) & 1) == 0)
             V = jnp.where(take, Vs, jnp.where(keep, V, -1))
+            # Unoccupied lanes keep stale feature values — masked by the
+            # q < n_sel pad select below.
+            P = [jnp.where(take, pltpu.roll(pc, shift=N - sh, axis=1), pc)
+                 for pc in P]
             D = jnp.where(take, Ds - sh, jnp.where(keep, D, 0))
 
         # Lane q < n_sel now holds the rank-q selected index; pad the tail
@@ -155,21 +183,29 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int):
             jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0),
             jnp.int32(S))                                        # (R, 1)
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
-        idx = jnp.where(q_iota < n_sel.astype(jnp.int32), V[:, :K],
-                        jnp.broadcast_to(s_col, (R, K)))
+        valid_q = q_iota < n_sel.astype(jnp.int32)               # (R, K)
+        idx = jnp.where(valid_q, V[:, :K], jnp.broadcast_to(s_col, (R, K)))
         for r in range(rb):
             out_ref[r, :, :] = idx[r * S:(r + 1) * S, :]
+        if C:
+            for c in range(C):
+                g = jnp.where(valid_q, P[c][:, :K],
+                              jnp.broadcast_to(cent_feat[c], (R, K)))
+                for r in range(rb):
+                    grouped_ref[0][r, c, :, :] = g[r * S:(r + 1) * S, :]
 
     return kernel
 
 
-def _rows_per_block(B: int, S: int, N: int) -> int:
+def _rows_per_block(B: int, S: int, N: int, gather_channels: int = 0) -> int:
     """Largest power-of-two batch-rows-per-grid-step that divides B and
     keeps the stacked (rb*S, N) working set comfortably inside VMEM
-    (~6 live f32 tiles + the (N, N) bf16 triangular)."""
+    (~6 live f32 tiles, ~2 more per gathered channel, + the (N, N) bf16
+    triangular)."""
     budget = 10 * 1024 * 1024 - 2 * N * N
+    tiles = 6 + 2 * gather_channels
     rb = 8
-    while rb > 1 and (B % rb or rb * S * N * 4 * 6 > budget):
+    while rb > 1 and (B % rb or rb * S * N * 4 * tiles > budget):
         rb //= 2
     return rb
 
@@ -206,3 +242,74 @@ def select_knn_ball(points: Array, num_centroids: int, knn_k: int,
         out_shape=jax.ShapeDtypeStruct((B, S, K), jnp.int32),
         interpret=interpret,
     )(radius, xyz_t)
+
+
+@partial(jax.jit, static_argnames=("num_centroids", "knn_k", "interpret"))
+def _select_gather(points: Array, num_centroids: int, knn_k: int,
+                   radius_sq, interpret: bool = False):
+    """Fused selection + gather: one kernel pass emits both the index set
+    and the gathered neighborhoods (features ride the log-shift
+    compaction as extra payload lanes — the separate one-hot gather
+    matmul kernel disappears from the hot path).
+
+    Returns (grouped (B, S, K, C) f32 — NOT re-centered, idx (B, S, K)).
+    """
+    B, N, C = points.shape
+    S, K = num_centroids, knn_k
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)   # (B, C, N)
+    radius = jnp.asarray(radius_sq, jnp.float32).reshape(1, 1)
+    rb = _rows_per_block(B, S, N, gather_channels=C)
+
+    idx, grouped_t = pl.pallas_call(
+        _make_select_kernel(rb, S, K, N, 31, gather_channels=C),
+        grid=(B // rb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, C, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, S, K), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, C, S, K), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, C, S, K), jnp.float32),
+        ),
+        interpret=interpret,
+    )(radius, pts_t)
+    return jnp.transpose(grouped_t, (0, 2, 3, 1)), idx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+def select_gather_knn_ball(points: Array, num_centroids: int, knn_k: int,
+                           radius_sq, interpret: bool = False) -> Array:
+    """Differentiable fused select+gather (backward = the in-VMEM
+    scatter-add kernel over the selected indices, exactly the gather
+    VJP — the index selection itself is piecewise constant in the
+    points, like lax.top_k). Returns gathered (B, S, K, C) f32
+    neighborhoods, NOT re-centered."""
+    grouped, _ = _select_gather(points, num_centroids, knn_k, radius_sq,
+                                interpret)
+    return grouped
+
+
+def _sg_fwd(points, num_centroids, knn_k, radius_sq, interpret):
+    grouped, idx = _select_gather(points, num_centroids, knn_k, radius_sq,
+                                  interpret)
+    return grouped, (idx, points.shape[1])
+
+
+def _sg_bwd(num_centroids, knn_k, interpret, res, g):
+    from facl_tpu.ops.pallas.gather import scatter_add_rows
+    idx, n = res
+    B, S, K, C = g.shape
+    dpoints = scatter_add_rows(idx.reshape(B, S * K),
+                               g.reshape(B, S * K, C), n, interpret)
+    return dpoints, None
+
+
+select_gather_knn_ball.defvjp(_sg_fwd, _sg_bwd)

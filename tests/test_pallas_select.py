@@ -89,6 +89,7 @@ def test_group_points_select_impls_agree(rng):
 
 
 def test_group_points_select_pallas_with_pallas_gather(rng):
+    # select=pallas + gather=pallas routes to the fully fused kernel.
     B, N, S, K = 1, 64, 8, 8
     pts = jnp.asarray(
         rng.uniform(-0.5, 0.5, size=(B, N, 4)).astype(np.float32))
@@ -99,3 +100,35 @@ def test_group_points_select_pallas_with_pallas_gather(rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(n_p, np.float64), axis=2),
         np.sort(np.asarray(n_x, np.float64), axis=2), atol=1e-6)
+
+
+def test_fused_select_gather_matches_gather_of_idx(rng):
+    # The fused kernel's gathered features must equal table[idx] exactly
+    # (same kernel, same index set), including duplicate points and tight
+    # radii.
+    import jax
+
+    from facl_tpu.ops.pallas.select import (_select_gather,
+                                            select_gather_knn_ball)
+
+    B, N, S, K = 2, 96, 12, 16
+    base = rng.uniform(-0.5, 0.5, size=(B, N // 2, 4)).astype(np.float32)
+    pts_np = np.concatenate([base, base], axis=1)
+    pts = jnp.asarray(pts_np)
+    grouped, idx = _select_gather(pts, S, K, 0.2, interpret=True)
+    grouped = np.asarray(grouped)
+    idx = np.asarray(idx)
+    for b in range(B):
+        exp = pts_np[b][idx[b].reshape(-1)].reshape(S, K, 4)
+        np.testing.assert_array_equal(grouped[b], exp)
+
+    # Gradient parity with the XLA path: grad of a set-invariant scalar.
+    def loss(p, select_impl, gather_impl):
+        n, c = group_points(p, S, K, 0.2, select_impl=select_impl,
+                            gather_impl=gather_impl)
+        return jnp.sum(n ** 2) + jnp.sum(c ** 2)
+
+    g_x = jax.grad(loss)(pts, "xla", "xla")
+    g_p = jax.grad(loss)(pts, "pallas", "pallas")
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-5)

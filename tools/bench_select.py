@@ -53,7 +53,22 @@ def main():
     total = len(range(0, B, 97)) * S
     print(f"set-equality spot check: {same}/{total}")
 
-    for name, fn in [("composite", comp), ("pallas_select", sel)]:
+    from facl_tpu.ops.pallas.gather import gather_rows
+    from facl_tpu.ops.pallas.select import select_gather_knn_ball
+
+    def split_pair(p):
+        i = select_knn_ball(p, S, K, radius_sq)
+        return gather_rows(p, i.reshape(B, S * K)).reshape(B, S, K, C)
+
+    fused = jax.jit(lambda p: select_gather_knn_ball(p, S, K, radius_sq))
+    pair = jax.jit(split_pair)
+
+    g_f = np.asarray(fused(pts))
+    g_p = np.asarray(pair(pts))
+    print("fused == select+gather:", bool((g_f == g_p).all()))
+
+    for name, fn in [("composite", comp), ("pallas_select", sel),
+                     ("select+gather pair", pair), ("fused gather", fused)]:
         out = fn(pts)
         sync(out)
         t0 = time.perf_counter()
