@@ -64,10 +64,12 @@ class ModelConfig:
     fast_widths3: Tuple[int, ...] = (256, 512, 1024)
     compute_dtype: str = "float32"  # "bfloat16" for speed; params stay f32
     # SA-stage implementation. "reference" (default) = the XLA path;
-    # "pallas" opts into the fused sweep kernels (ops/pallas/sa_kernel.py)
-    # — correct (golden-tested) and ~2x faster in isolation at f32, but
-    # currently slower inside the full jit step (the custom calls break
-    # XLA's fusion islands); kept opt-in pending scheduling work.
+    # "analytic" = same forward, hand-derived backward that collapses
+    # the BatchNorm-backward reductions into Gram-matrix algebra
+    # (ops/analytic_sa.py); "pallas" opts into the fused sweep kernels
+    # (ops/pallas/sa_kernel.py) and "covar" into Gram-matrix forward
+    # statistics — both golden-tested but measured slower in the full
+    # step (docs/DESIGN.md section 3), kept opt-in.
     sa_impl: str = "reference"
 
 

@@ -68,7 +68,7 @@ class SetAbstractionStage(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
-    impl: str = "auto"           # auto | reference | covar | pallas
+    impl: str = "auto"           # auto | reference | covar | pallas | analytic
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
@@ -108,6 +108,14 @@ class SetAbstractionStage(nn.Module):
                     flat, layers, K, self.epsilon, self.dtype, False,
                     self.input_grad)
                 pooled = pooled.reshape(*lead, self.widths[-1])
+            elif self.impl == "analytic":
+                # Same forward values as the reference path; hand-derived
+                # VJP that replaces autodiff's convert+reduce chains over
+                # the (rows, C) tensors with Gram-matrix algebra
+                # (ops/analytic_sa.py).
+                from facl_tpu.ops.analytic_sa import sa_train_analytic
+                pooled, stats = sa_train_analytic(
+                    x, layers, self.epsilon, jnp.dtype(self.dtype))
             else:
                 # "covar" opts into Gram-matrix BN statistics: the same
                 # moments, ~none of the pre-activation reduce traffic on

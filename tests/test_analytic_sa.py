@@ -1,0 +1,171 @@
+"""Analytic SA backward (ops/analytic_sa.py) vs jax.grad of the
+reference path.
+
+Forward values must be IDENTICAL (same op sequence); gradients must
+match autodiff of the same forward to float tolerance (the analytic
+form reassociates the BatchNorm-backward reductions into Gram-matrix
+algebra)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facl_tpu.ops.analytic_sa import sa_train_analytic
+from facl_tpu.ops.fused_sa import SALayerParams
+
+
+def make_layers(rng, widths, cin):
+    layers = []
+    for w in widths:
+        layers.append(SALayerParams(
+            kernel=jnp.asarray(rng.normal(size=(cin, w), scale=0.5)
+                               .astype(np.float32)),
+            bias=jnp.asarray(rng.normal(size=(w,), scale=0.2)
+                             .astype(np.float32)),
+            scale=jnp.asarray((1.0 + 0.3 * rng.normal(size=(w,)))
+                              .astype(np.float32)),
+            shift=jnp.asarray(rng.normal(size=(w,), scale=0.2)
+                              .astype(np.float32)),
+        ))
+        cin = w
+    return tuple(layers)
+
+
+def reference_forward(x, layers, eps, dtype):
+    """Autodiff baseline: the same op sequence, differentiated by JAX."""
+    h = x.astype(dtype)
+    axes = tuple(range(h.ndim - 1))
+    stats = []
+    for lp in layers:
+        p = h @ lp.kernel.astype(dtype) + lp.bias.astype(dtype)
+        pf32 = p.astype(jnp.float32)
+        mean = jnp.mean(pf32, axis=axes)
+        var = jnp.mean(jnp.square(pf32), axis=axes) - jnp.square(mean)
+        stats.append((mean, var))
+        mul = jax.lax.rsqrt(var + eps) * lp.scale
+        shift = lp.shift - mean * mul
+        h = jax.nn.relu((p * mul + shift).astype(dtype))
+    return jnp.max(h, axis=-2), stats
+
+
+@pytest.mark.parametrize("dtype,rtol,atol", [
+    (jnp.float32, 2e-3, 2e-3),
+    (jnp.bfloat16, 6e-2, 6e-2),
+])
+def test_analytic_matches_autodiff(rng, dtype, rtol, atol):
+    B, S, K, C = 3, 4, 8, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    layers = make_layers(rng, widths, C)
+    eps = 1e-5
+
+    pooled_a, stats_a = sa_train_analytic(x, layers, eps, dtype)
+    pooled_r, stats_r = reference_forward(x, layers, eps, dtype)
+    np.testing.assert_array_equal(np.asarray(pooled_a, np.float32),
+                                  np.asarray(pooled_r, np.float32))
+    for (ma, va), (mr, vr) in zip(stats_a, stats_r):
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mr))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vr))
+
+    # A loss touching every output element asymmetrically.
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+
+    def loss_a(x, layers):
+        pooled, _ = sa_train_analytic(x, layers, eps, dtype)
+        return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+
+    def loss_r(x, layers):
+        pooled, _ = reference_forward(x, layers, eps, dtype)
+        return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+
+    gx_a, gl_a = jax.grad(loss_a, argnums=(0, 1))(x, layers)
+    gx_r, gl_r = jax.grad(loss_r, argnums=(0, 1))(x, layers)
+
+    scale = max(1.0, float(jnp.max(jnp.abs(gx_r))))
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_r),
+                               rtol=rtol, atol=atol * scale)
+    for la, lr in zip(gl_a, gl_r):
+        # d(bias) is mathematically ZERO (BatchNorm absorbs the Dense
+        # bias into the batch mean), so at low precision both autodiff
+        # and the analytic form produce uncorrelated rounding noise —
+        # assert smallness relative to the meaningful shift grad.
+        shift_scale = max(1.0, float(np.abs(np.asarray(lr.shift)).max()))
+        for name in ("kernel", "scale", "shift"):
+            a = np.asarray(getattr(la, name), np.float32)
+            r = np.asarray(getattr(lr, name), np.float32)
+            sc = max(1.0, float(np.abs(r).max()))
+            np.testing.assert_allclose(
+                a, r, rtol=rtol, atol=atol * sc,
+                err_msg=f"{name} grad mismatch ({dtype})")
+        for b_grad in (np.asarray(la.bias, np.float32),
+                       np.asarray(lr.bias, np.float32)):
+            assert np.abs(b_grad).max() <= 4 * atol * shift_scale, (
+                f"bias grad not noise-level ({dtype})")
+
+
+def test_analytic_pool_tie_splitting(rng):
+    # Duplicate neighbor rows force exact max ties; the analytic pool
+    # backward must split the gradient evenly like jnp.max's VJP.
+    B, S, K, C = 1, 2, 4, 4
+    half = rng.normal(size=(B, S, K // 2, C)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([half, half], axis=2))
+    layers = make_layers(rng, (6, 6, 8), C)
+    eps = 1e-5
+
+    def loss(fn):
+        def f(x, layers):
+            pooled, _ = fn(x, layers, eps, jnp.float32)
+            return jnp.sum(pooled ** 2)
+        return f
+
+    gx_a = jax.grad(loss(sa_train_analytic))(x, layers)
+    gx_r = jax.grad(loss(reference_forward))(x, layers)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_stage_analytic_matches_reference(rng):
+    # Through the flax module: identical forward + batch_stats, matching
+    # parameter grads.
+    from facl_tpu.models.sa_stage import SetAbstractionStage
+
+    x = jnp.asarray(rng.normal(size=(4, 6, 8, 4)).astype(np.float32))
+
+    def run(impl):
+        stage = SetAbstractionStage((8, 8, 16), impl=impl)
+        variables = stage.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(v):
+            out, mut = stage.apply(v, x, train=True,
+                                   mutable=["batch_stats"])
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (l, bs), g = jax.value_and_grad(loss, has_aux=True)(variables)
+        return l, bs, g["params"]
+
+    l_r, bs_r, g_r = run("reference")
+    l_a, bs_a, g_a = run("analytic")
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_r))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), bs_a, bs_r)
+    for k in g_r:
+        if k.startswith("bias"):
+            continue  # noise-level (see above)
+        np.testing.assert_allclose(
+            np.asarray(g_a[k]), np.asarray(g_r[k]), rtol=2e-3, atol=2e-3,
+            err_msg=k)
+
+
+def test_analytic_stats_cotangent_ignored(rng):
+    # Differentiating a loss that (incorrectly) depends on the returned
+    # stats must not crash — the stats cotangent is defined as zero
+    # (state-update contract).
+    x = jnp.asarray(rng.normal(size=(2, 2, 4, 4)).astype(np.float32))
+    layers = make_layers(rng, (4, 4, 8), 4)
+
+    def loss(x):
+        pooled, stats = sa_train_analytic(x, layers, 1e-5, jnp.float32)
+        return jnp.sum(pooled) + 0.0 * jnp.sum(stats[0][0])
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
