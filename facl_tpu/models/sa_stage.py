@@ -116,6 +116,19 @@ class SetAbstractionStage(nn.Module):
                 from facl_tpu.ops.analytic_sa import sa_train_analytic
                 pooled, stats = sa_train_analytic(
                     x, layers, self.epsilon, jnp.dtype(self.dtype))
+            elif self.impl == "hybrid":
+                # XLA forward + the 2-sweep Pallas analytic backward
+                # (ops/pallas/sa_bwd.py). dx contract is ZERO — valid
+                # because the contrastive step treats neighborhoods as
+                # data; guarded by input_grad.
+                if self.input_grad:
+                    raise ValueError(
+                        "sa impl 'hybrid' defines a zero input cotangent;"
+                        " use 'analytic' when input gradients are needed")
+                from facl_tpu.ops.pallas.sa_bwd import sa_train_hybrid
+                pooled, stats = sa_train_hybrid(
+                    x, layers, self.epsilon, jnp.dtype(self.dtype),
+                    jax.default_backend() == "cpu")
             else:
                 # "covar" opts into Gram-matrix BN statistics: the same
                 # moments, ~none of the pre-activation reduce traffic on

@@ -165,23 +165,29 @@ def _bwd(eps, dtype, res, cts):
     L = len(layers)
     f32 = jnp.float32
 
-    # Recompute the top layer with the forward's exact cast chain so the
-    # max positions and ReLU mask are bit-identical to the forward.
+    # Recompute the top layer. The max-pool subgradient SELECTS on the
+    # f32 pre-cast activations: selecting on the compute-dtype values
+    # would create large tie groups at bf16 (coarse buckets), and tie
+    # structure is then compilation-dependent — a separately-compiled
+    # recompute (the Pallas backward) forms different groups than the
+    # forward and the gradients drift. On f32 values, ties only occur
+    # for genuinely duplicate rows, identically in every recompute.
+    # (The torch reference routes pool gradients to a single argmax —
+    # utils_my-style F.max_pool backward — so concentrating rather than
+    # dtype-bucket-splitting is also the closer-to-reference choice.)
     lp = layers[L - 1]
     mean, var = stats[L - 1]
     h_prev = hs[L - 1]
     p = h_prev @ lp.kernel.astype(dtype) + lp.bias.astype(dtype)
     mul = jax.lax.rsqrt(var + eps) * lp.scale
     shift = lp.shift - mean * mul
-    y = (p * mul + shift).astype(dtype)
-    h_top = jax.nn.relu(y)
-
-    # Max-pool backward with jnp.max's tie semantics: the incoming
-    # gradient splits evenly among all elements equal to the max.
-    eq = (h_top == pooled[..., None, :])
+    z = p.astype(f32) * mul + shift                  # f32 pre-cast y
+    h_topf = jnp.maximum(z, 0.0)
+    mx = jnp.max(h_topf, axis=-2, keepdims=True)
+    eq = (h_topf == mx)
     ties = jnp.sum(eq.astype(f32), axis=-2, keepdims=True)
     dh = eq.astype(f32) * (dpooled.astype(f32)[..., None, :] / ties)
-    dy = (dh * (y > 0)).astype(dtype)
+    dy = (dh * (z > 0)).astype(dtype)
 
 
     dlayers = [None] * L
