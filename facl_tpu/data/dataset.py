@@ -203,6 +203,13 @@ class CropLoader:
 
         def producer():
             for idxs in batches:
+                # Host .npy loads only — do NOT device_put from this
+                # thread: a producer-thread transfer deadlocks against a
+                # main-thread compile on the remote (axon) backend
+                # (observed: both python threads parked on futexes with
+                # the RPC loop idle). The transfer happens on the main
+                # thread inside make_crops_batch; it is only worth
+                # overlapping on hosts with a thin device link anyway.
                 q.put(self.ds.load_batch(idxs))
             q.put(None)
 

@@ -11,6 +11,19 @@ via ``.at[].max`` (occupancy dedupe), rank coefficients precomputed as an
 (M, F) matrix so the frame loop is a single ``fori_loop`` with masked adds.
 The 3^3 density denoise (generate_NTU.py:277-296) is a valid-mode box
 convolution.
+
+Round-2 perf note: the per-frame loop (~120 scatters, ~550 ms/clip
+isolated) was attacked twice and BOTH reformulations measured slower on
+device, so it stays:
+- one-shot sort + (13M, 5)-wide scatter-add: 1017 ms — XLA lowers wide
+  scatter-adds at ~14 ns per SCALAR update;
+- frame-blocked scatter-max (one (2*kb*V,) scatter per kb-frame block):
+  601 ms — in-loop scatter-max runs ~3x slower per update than the same
+  op standalone, and the block-coefficient einsum lowers to a while
+  loop.
+Generation is embarrassingly parallel per clip — scale it over
+chips/hosts, not inside the clip (ROADMAP). tests/test_datagen.py's
+rank_pool loop-oracle pins the exact semantics for future attempts.
 """
 from __future__ import annotations
 

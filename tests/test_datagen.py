@@ -201,3 +201,52 @@ def test_generate_dataset_walks_ntu_tree(tmp_path):
     raw = np.load(tmp_path / "out" / "Resolution8" / "raw" /
                   "S001C001P001R001A001.npy")
     assert raw.shape == (cfg.sample_num, 8) and np.isfinite(raw).all()
+
+
+def test_rank_pool_matches_loop_oracle(rng):
+    """The one-shot sort+scatter rank_pool must be BIT-IDENTICAL to the
+    frame-loop formulation (per-frame occupancy dedupe, coefficient-
+    weighted accumulation): the rank coefficients are integers, so f32
+    sums are exact in any order."""
+    import jax.numpy as jnp
+
+    from facl_tpu.config import DatagenConfig
+    from facl_tpu.datagen.voxelize import (rank_coefficients, rank_pool,
+                                           voxel_indices)
+
+    cfg = DatagenConfig(grid_shape=(16, 12, 12), voxel_size=30.0,
+                        max_frames=8)
+    F, P = 8, 200
+    n_frame = jnp.asarray(6)
+    origin = jnp.asarray([0.0, 0.0, 0.0])
+    # Cluster points so voxels repeat within and across frames (the
+    # dedupe path matters), with some out-of-range and invalid ones.
+    pts = rng.uniform(-40, 16 * 30 + 40, size=(F, P, 3)).astype(np.float32)
+    pts[:, : P // 3] = rng.uniform(0, 100, size=(F, P // 3, 3))
+    valid = rng.uniform(size=(F, P)) > 0.2
+    kpts = rng.uniform(0, 300, size=(F, P, 3)).astype(np.float32)
+    kvalid = rng.uniform(size=(F, P)) > 0.5
+
+    di, dk = rank_pool(jnp.asarray(pts), jnp.asarray(valid),
+                       jnp.asarray(kpts), jnp.asarray(kvalid),
+                       n_frame, origin, cfg)
+
+    # NumPy loop oracle (the original formulation).
+    coef = np.asarray(rank_coefficients(n_frame, F, cfg.num_splits))
+    coef_key = np.where(np.arange(F) < 6, 2.0 * np.arange(F) - 6 + 1.0, 0.0)
+    di_o = np.zeros((cfg.num_splits,) + cfg.grid_shape, np.float32)
+    dk_o = np.zeros(cfg.grid_shape, np.float32)
+    for f in range(F):
+        for tgt, src_p, src_v, w in ((di_o, pts, valid, coef[:, f]),
+                                     (dk_o[None], kpts, kvalid,
+                                      coef_key[f:f + 1])):
+            idx, v = voxel_indices(jnp.asarray(src_p[f]),
+                                   jnp.asarray(src_v[f]), origin,
+                                   cfg.voxel_size, cfg.grid_shape)
+            idx, v = np.asarray(idx), np.asarray(v)
+            occ = np.zeros(cfg.grid_shape, np.float32)
+            occ[idx[v, 0], idx[v, 1], idx[v, 2]] = 1.0
+            tgt += w[:, None, None, None] * occ[None]
+
+    np.testing.assert_array_equal(np.asarray(di), di_o)
+    np.testing.assert_array_equal(np.asarray(dk), dk_o)

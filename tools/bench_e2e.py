@@ -36,9 +36,28 @@ def main() -> None:
     from facl_tpu.data.synthetic import write_random_tree
     from facl_tpu.train import Trainer
 
-    videos = int(os.environ.get("BENCH_E2E_VIDEOS", "256"))
+    videos = int(os.environ.get("BENCH_E2E_VIDEOS", "1024"))
     epochs = int(os.environ.get("BENCH_E2E_EPOCHS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    # Host->device link bandwidth probe: on this dev machine the TPU sits
+    # behind a network tunnel (~50-60 MB/s), which dominates the epoch
+    # rate; on a real TPU host (PCIe) the same transfers are negligible.
+    # Recording it makes the epoch number interpretable.
+    import jax.numpy as jnp
+    probe = np.random.default_rng(0).normal(size=(4 << 20,)).astype(
+        np.float32)                          # 16 MB
+    # Scalar fetch is the only reliable sync on the tunnel backend
+    # (block_until_ready returns early) — warm up, then take the best
+    # of 3 timed transfers.
+    float(jnp.asarray(probe)[0])
+    times = []
+    for i in range(3):
+        probe[0] = i                         # defeat transfer caching
+        t0 = time.perf_counter()
+        float(jnp.asarray(probe)[0])
+        times.append(time.perf_counter() - t0)
+    link_mbps = probe.nbytes / 1e6 / min(times)
 
     root = tempfile.mkdtemp(prefix="facl_e2e_")
     try:
@@ -102,6 +121,14 @@ def main() -> None:
             "dtype": dtype,
             "native_loader": bool(native_available()),
             "tree_write_s": round(t_tree, 2),
+            "h2d_link_mb_per_s": round(link_mbps, 1),
+            "note": ("host_overhead is dominated by the H2D link on this "
+                     "machine (TPU behind a tunnel at the recorded MB/s; "
+                     "~17 MB of clip sources per 64-clip batch). A "
+                     "direct-attached host moves the same batch in ~2 ms."
+                     " Producer-thread device_put was tried for overlap "
+                     "and deadlocks against main-thread compiles on the "
+                     "remote backend (see data/dataset.py)."),
         }
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "bench_e2e.json")
