@@ -56,10 +56,16 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
         from jax.sharding import PartitionSpec as P
 
         def grouped(points4d):
+            # check_vma=False: pallas_call inside shard_map cannot declare
+            # varying-mesh-axes metadata on its outputs (caught by
+            # tests/test_sharding.py with the fused kernel forced on the
+            # CPU mesh); the body is purely per-shard so the check adds
+            # nothing here.
             out = jax.shard_map(
                 group4d, mesh=mesh,
                 in_specs=P(None, "dp"),
                 out_specs=(P(None, "dp"), P(None, "dp")),
+                check_vma=False,
             )(points4d)
             return out
 

@@ -154,3 +154,29 @@ def test_mesh_aware_trainer_step(rng):
                     jax.tree_util.tree_leaves(sm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_mesh_aware_grouping_fused_pallas_path(rng):
+    """shard_map grouping with select/gather forced to the fused Pallas
+    kernel (interpret mode on the CPU mesh) — the configuration a real
+    multi-chip TPU mesh runs — must match the XLA composite."""
+    import dataclasses
+
+    from facl_tpu.train.trainer import make_grouping_fn
+    cfg = tiny_config()
+    g_xla = dataclasses.replace(cfg.grouping, select_impl="xla",
+                                gather_impl="xla")
+    g_pal = dataclasses.replace(cfg.grouping, select_impl="pallas",
+                                gather_impl="pallas")
+    G, B, N, C = 4, 8, 32, 4
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+
+    mesh = make_mesh(MeshConfig(dp=8, mp=1))
+    batch_sharded = jax.device_put(batch, NamedSharding(mesh, P(None, "dp")))
+    n1, c1 = make_grouping_fn(g_xla, mesh=mesh)(batch_sharded)
+    n2, c2 = make_grouping_fn(g_pal, mesh=mesh)(batch_sharded)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=0)
+    # Same neighbor sets; order within K is implementation-defined.
+    np.testing.assert_allclose(
+        np.sort(np.asarray(n2, np.float64), axis=3),
+        np.sort(np.asarray(n1, np.float64), axis=3), atol=1e-6)
