@@ -23,7 +23,17 @@ def main(argv=None) -> None:
                    help="generate N synthetic videos instead of reading NTU")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shard", default="0/1",
+                   help="i/n: process only every n-th video starting at i "
+                   "— generation is embarrassingly parallel per clip, so "
+                   "run one process per chip/host against the same --out "
+                   "tree; per-video randomness is keyed by (seed, video) "
+                   "so the result is shard-layout-invariant")
     args = p.parse_args(argv)
+    try:
+        shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+    except ValueError:
+        p.error("--shard must be i/n (e.g. 0/4)")
 
     setup_logging()
     log = logging.getLogger("generate")
@@ -39,8 +49,10 @@ def main(argv=None) -> None:
         p.error("--data or --synthetic required")
     from facl_tpu.datagen import generate_dataset
     n = generate_dataset(args.data, args.out, cfg, seed=args.seed,
-                         limit=args.limit or None)
-    log.info("wrote %d clips to %s", n, args.out)
+                         limit=args.limit or None,
+                         shard=shard_i, num_shards=shard_n)
+    log.info("wrote %d clips to %s (shard %d/%d)", n, args.out,
+             shard_i, shard_n)
 
 
 if __name__ == "__main__":

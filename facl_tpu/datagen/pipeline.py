@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import random
+import zlib
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -127,6 +128,7 @@ class ClipGenerator:
                  seed: int = 0):
         self.cfg = cfg
         self.max_frames = int(max_frames or cfg.max_frames)
+        self._seed = seed
         self._py_rng = random.Random(seed)
         self._key = jax.random.PRNGKey(seed)
 
@@ -134,38 +136,64 @@ class ClipGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def from_frames(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
-        """frames: (F, H, W) uint16/float raw depth frames (unmasked)."""
+    def from_frames(self, frames: np.ndarray,
+                    tag: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """frames: (F, H, W) uint16/float raw depth frames (unmasked).
+
+        ``tag``: optional stable identity (e.g. the video name). When
+        given, all randomness (frame capping, in-clip sampling) derives
+        from (seed, tag) instead of the generator's sequential state, so
+        sharded generation (generate_dataset shard/num_shards) produces
+        the same tree as an unsharded run."""
         F = frames.shape[0]
         K = self.max_frames
+        if tag is None:
+            py_rng, key = self._py_rng, None
+        else:
+            h = zlib.crc32(f"{tag}:{K}".encode())
+            py_rng = random.Random(f"{self._seed}:{h}")
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed), h)
         if F > K:
-            idx = sorted(self._py_rng.sample(range(F), K))
+            idx = sorted(py_rng.sample(range(F), K))
             frames = frames[idx]
             F = K
+        if key is None:
+            key = self._next_key()
         H, W = self.cfg.image_shape
         buf = np.zeros((K, H, W), np.float32)
         buf[:F, :frames.shape[1], :frames.shape[2]] = \
             frames[:, :H, :W].astype(np.float32)
-        out = generate_clip(self._next_key(), jnp.asarray(buf),
+        out = generate_clip(key, jnp.asarray(buf),
                             jnp.asarray(F, jnp.int32), self.cfg, K)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def from_dir(self, png_dir: str) -> Dict[str, np.ndarray]:
+    def from_dir(self, png_dir: str,
+                 tag: Optional[str] = None) -> Dict[str, np.ndarray]:
         import imageio.v2 as imageio
         names = sorted(os.listdir(png_dir))
         frames = np.stack([
             np.asarray(imageio.imread(os.path.join(png_dir, n)))
             for n in names])
-        return self.from_frames(frames)
+        return self.from_frames(frames, tag=tag)
 
 
 def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
-                     seed: int = 0, limit: Optional[int] = None) -> int:
+                     seed: int = 0, limit: Optional[int] = None,
+                     shard: int = 0, num_shards: int = 1) -> int:
     """Walk <data_path>/<setup>/nturgb+d_depth_masked/<video>/ and write,
     per resolution, <out_root>/Resolution{K}/{raw,others,app}/... in the
     reference's on-disk layout (generate_NTU.py:86-112). Returns the number
-    of clips written."""
+    of clips written.
+
+    ``shard``/``num_shards``: process only videos whose index (in the
+    sorted walk order) is congruent to ``shard`` mod ``num_shards`` —
+    generation is embarrassingly parallel per clip and scatter-bound on
+    one chip (voxelize.py), so the intended scale-out is one process per
+    chip/host, all writing into the same tree."""
+    if not (0 <= shard < num_shards):
+        raise ValueError(f"shard {shard} out of range for {num_shards}")
     written = 0
+    vid_idx = 0
     setups = sorted(os.listdir(data_path))
     for res in cfg.resolutions:
         gen = ClipGenerator(cfg, max_frames=res, seed=seed)
@@ -180,7 +208,11 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
             if not os.path.isdir(vid_root):
                 continue
             for video in sorted(os.listdir(vid_root)):
-                out = gen.from_dir(os.path.join(vid_root, video))
+                vid_idx += 1
+                if (vid_idx - 1) % num_shards != shard:
+                    continue
+                out = gen.from_dir(os.path.join(vid_root, video),
+                                   tag=video)
                 np.save(os.path.join(raw_dir, video + ".npy"), out["raw"])
                 np.save(os.path.join(key_dir, video + "_key.npy"), out["key"])
                 np.save(os.path.join(app_dir, video + "_app.npy"), out["app"])

@@ -137,12 +137,12 @@ def small_cfg():
                          voxel_size=60.0)
 
 
-def synthetic_frames(F=8, H=48, W=64):
+def synthetic_frames(F=8, H=48, W=64, seed=0):
     """A blob moving across the image with depth ~ 1000."""
     frames = np.zeros((F, H, W), np.float32)
     for f in range(F):
-        x0 = 8 + 3 * f
-        frames[f, 12:36, x0:x0 + 16] = 900.0 + 10.0 * f
+        x0 = 8 + 3 * f + (seed % 4)
+        frames[f, 12:36, x0:x0 + 16] = 900.0 + 10.0 * f + 5.0 * seed
     return frames
 
 
@@ -250,3 +250,39 @@ def test_rank_pool_matches_loop_oracle(rng):
 
     np.testing.assert_array_equal(np.asarray(di), di_o)
     np.testing.assert_array_equal(np.asarray(dk), dk_o)
+
+
+def test_generate_dataset_sharded_matches_unsharded(tmp_path):
+    """Sharded generation (one process per chip/host) must produce
+    byte-identical trees to an unsharded run: per-video randomness is
+    keyed by (seed, video name), not by walk order."""
+    imageio = pytest.importorskip("imageio.v2")
+    cfg = small_cfg()
+    cfg = DatagenConfig(**{**cfg.__dict__, "resolutions": (8,)})
+    for vi in range(3):
+        vid_dir = (tmp_path / "data" / "setup1" / "nturgb+d_depth_masked" /
+                   f"S001C001P001R001A{vi + 1:03d}")
+        vid_dir.mkdir(parents=True)
+        for i, fr in enumerate(synthetic_frames(F=6, seed=vi)):
+            imageio.imwrite(str(vid_dir / f"f{i:03d}.png"),
+                            fr.astype(np.uint16))
+
+    from facl_tpu.datagen import generate_dataset
+    n0 = generate_dataset(str(tmp_path / "data"), str(tmp_path / "full"),
+                          cfg)
+    n1 = generate_dataset(str(tmp_path / "data"), str(tmp_path / "sh"),
+                          cfg, shard=0, num_shards=2)
+    n2 = generate_dataset(str(tmp_path / "data"), str(tmp_path / "sh"),
+                          cfg, shard=1, num_shards=2)
+    assert n0 == 3 and n1 + n2 == 3 and n1 > 0 and n2 > 0
+
+    import os as _os
+    for sub in ("raw", "others", "app"):
+        full_dir = tmp_path / "full" / "Resolution8" / sub
+        sh_dir = tmp_path / "sh" / "Resolution8" / sub
+        names = sorted(_os.listdir(full_dir))
+        assert names == sorted(_os.listdir(sh_dir))
+        for name in names:
+            np.testing.assert_array_equal(
+                np.load(full_dir / name), np.load(sh_dir / name),
+                err_msg=name)
