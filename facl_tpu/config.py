@@ -66,10 +66,12 @@ class ModelConfig:
     # SA-stage implementation. "reference" (default) = the XLA path;
     # "analytic" = same forward, hand-derived backward that collapses
     # the BatchNorm-backward reductions into Gram-matrix algebra
-    # (ops/analytic_sa.py); "pallas" opts into the fused sweep kernels
-    # (ops/pallas/sa_kernel.py) and "covar" into Gram-matrix forward
-    # statistics — both golden-tested but measured slower in the full
-    # step (docs/DESIGN.md section 3), kept opt-in.
+    # (ops/analytic_sa.py); "hybrid" = XLA forward + 2-sweep Pallas
+    # backward (ops/pallas/sa_bwd.py); "hybrid2" = Pallas forward sweeps
+    # + the same backward (ops/pallas/sa_fwd.py); "pallas" opts into the
+    # fused sweep kernels (ops/pallas/sa_kernel.py) and "covar" into
+    # Gram-matrix forward statistics. All golden-tested; measured
+    # standings in docs/DESIGN.md section 3.
     sa_impl: str = "reference"
 
 

@@ -68,7 +68,7 @@ class SetAbstractionStage(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
-    impl: str = "auto"           # auto | reference | covar | pallas | analytic
+    impl: str = "auto"   # auto|reference|covar|pallas|analytic|hybrid|hybrid2
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
@@ -127,6 +127,19 @@ class SetAbstractionStage(nn.Module):
                         " use 'analytic' when input gradients are needed")
                 from facl_tpu.ops.pallas.sa_bwd import sa_train_hybrid
                 pooled, stats = sa_train_hybrid(
+                    x, layers, self.epsilon, jnp.dtype(self.dtype),
+                    jax.default_backend() == "cpu")
+            elif self.impl == "hybrid2":
+                # Full-Pallas: forward sweeps produce the p1/p2 residuals
+                # in-kernel (no XLA layout copies on the Pallas operands)
+                # + the same 2-sweep backward (ops/pallas/sa_fwd.py).
+                # Same zero-dx contract as 'hybrid'.
+                if self.input_grad:
+                    raise ValueError(
+                        "sa impl 'hybrid2' defines a zero input cotangent;"
+                        " use 'analytic' when input gradients are needed")
+                from facl_tpu.ops.pallas.sa_fwd import sa_train_pfwd
+                pooled, stats = sa_train_pfwd(
                     x, layers, self.epsilon, jnp.dtype(self.dtype),
                     jax.default_backend() == "cpu")
             else:

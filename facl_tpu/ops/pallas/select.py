@@ -84,16 +84,33 @@ def _make_select_kernel(rb: int, S: int, K: int, N: int, bits_iters: int,
         bits = jax.lax.bitcast_convert_type(d, jnp.int32)
         w = jnp.where(d <= radius_sq, bits, _INT_MAX)            # (R, N)
 
-        # Exact k-th smallest per row: branchless binary search on the
-        # key value. 31 iterations pin every bit of the int32 key.
+        # Exact k-th smallest per row: branchless 4-ary search on the key
+        # value. The search is a serial chain of cheap reduces (latency-
+        # bound, not throughput-bound), so quartering the range per step
+        # with three INDEPENDENT counts — which the VPU pipelines — halves
+        # the chain length vs binary: 16 iterations cover [0, 2^31)
+        # (worst-case range recurrence d -> max(d>>2, d-(d>>1)-(d>>2)-1)
+        # reaches 0 in exactly 16 steps from 2^31-1).
+        kf = float(K)
+
         def bisect(_, carry):
             lo, hi = carry                                       # (R, 1)
-            mid = lo + ((hi - lo) >> 1)
-            cnt = jnp.sum((w <= mid).astype(jnp.float32), axis=1,
-                          keepdims=True)                         # (R, 1)
-            take = cnt >= float(K)
-            return (jnp.where(take, lo, mid + 1),
-                    jnp.where(take, mid, hi))
+            d = hi - lo
+            m1 = lo + (d >> 2)
+            m2 = lo + (d >> 1)
+            m3 = lo + (d >> 1) + (d >> 2)    # 3d/4 without int32 overflow
+            c1 = jnp.sum((w <= m1).astype(jnp.float32), axis=1,
+                         keepdims=True)                          # (R, 1)
+            c2 = jnp.sum((w <= m2).astype(jnp.float32), axis=1,
+                         keepdims=True)
+            c3 = jnp.sum((w <= m3).astype(jnp.float32), axis=1,
+                         keepdims=True)
+            t1, t2, t3 = c1 >= kf, c2 >= kf, c3 >= kf
+            new_lo = jnp.where(t1, lo, jnp.where(t2, m1 + 1,
+                               jnp.where(t3, m2 + 1, m3 + 1)))
+            new_hi = jnp.where(t1, m1, jnp.where(t2, m2,
+                               jnp.where(t3, m3, hi)))
+            return new_lo, new_hi
 
         lo0 = jnp.zeros((R, 1), jnp.int32)
         hi0 = jnp.full((R, 1), _INT_MAX, jnp.int32)
@@ -229,7 +246,7 @@ def select_knn_ball(points: Array, num_centroids: int, knn_k: int,
     rb = _rows_per_block(B, S, N)
 
     return pl.pallas_call(
-        _make_select_kernel(rb, S, K, N, 31),
+        _make_select_kernel(rb, S, K, N, 16),
         grid=(B // rb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (0, 0),
@@ -261,7 +278,7 @@ def _select_gather(points: Array, num_centroids: int, knn_k: int,
     rb = _rows_per_block(B, S, N, gather_channels=C)
 
     idx, grouped_t = pl.pallas_call(
-        _make_select_kernel(rb, S, K, N, 31, gather_channels=C),
+        _make_select_kernel(rb, S, K, N, 16, gather_channels=C),
         grid=(B // rb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (0, 0),
