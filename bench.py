@@ -39,9 +39,11 @@ def main() -> None:
     # mode; BENCH_BATCH scales the per-step videos (BASELINE config 4's
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_SA_IMPL: reference (direct BN reduce) | covar (Gram-matrix
-    # stats) | pallas (fused kernels).
-    sa_impl = os.environ.get("BENCH_SA_IMPL", cfg.model.sa_impl)
+    # BENCH_SA_IMPL: hybrid2 (full-Pallas SA stage — the single-chip
+    # flagship, +10% over the XLA path, docs/DESIGN.md section 3) |
+    # reference (direct BN reduce; GSPMD-safe default in ModelConfig) |
+    # hybrid | analytic | covar | pallas.
+    sa_impl = os.environ.get("BENCH_SA_IMPL", "hybrid2")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype,
                                                 sa_impl=sa_impl))

@@ -31,7 +31,12 @@ Four row-tile sweeps, one per BatchNorm barrier:
 Forward values match the reference op sequence up to f32 reduction order
 in the batch moments (tile-partial sums vs XLA's reduction tree) and the
 covariance-identity round-off for layer 3 — tested at allclose rather
-than the bit-equality the shared-XLA-forward hybrid satisfies.
+than the bit-equality the shared-XLA-forward hybrid satisfies. At f32
+the forward matmuls run at HIGHEST MXU precision (matching the strict
+parity mode of the reference path); the backward sweeps keep the default
+precision — a fully-HIGHEST backward was measured at 997 clips/s vs
+1658 with this split (the bf16x6 expansion also overflows scoped VMEM
+at the 2048-row tile), and gradients carry no parity contract.
 
 Input cotangent contract: ZERO, as for ``sa_train_hybrid`` — the
 training step treats grouped neighborhoods as data.
@@ -57,7 +62,7 @@ Array = jax.Array
 f32 = jnp.float32
 
 
-def _make_layer_sweep(dtype, affine_input: bool):
+def _make_layer_sweep(dtype, affine_input: bool, precision):
     """Sweep 1/2: (tile of x or p_prev) -> p_next tile + moment sums.
     ``affine_input`` selects whether the input tile is a stored
     pre-activation (recompute h via the folded affine + ReLU) or the raw
@@ -79,7 +84,7 @@ def _make_layer_sweep(dtype, affine_input: bool):
         d = jax.lax.dot_general(
             h, w_ref[...].astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32, precision=precision)
         p = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
         p_ref[...] = p
         pf = p.astype(f32)
@@ -89,7 +94,7 @@ def _make_layer_sweep(dtype, affine_input: bool):
     return kernel
 
 
-def _make_gram_sweep(dtype):
+def _make_gram_sweep(dtype, precision):
     """Sweep 3: p2 tile -> Gram(h2), colsum(h2) accumulators."""
 
     def kernel(mul_ref, shift_ref, p_ref, g_ref, c_ref):
@@ -103,13 +108,13 @@ def _make_gram_sweep(dtype):
         h = _h_from_p(p_ref[...], mul_ref[0], shift_ref[0], dtype)
         g_ref[...] += jax.lax.dot_general(
             h, h, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32, precision=precision)
         c_ref[0, :] += jnp.sum(h.astype(f32), axis=0)
 
     return kernel
 
 
-def _make_pool_sweep(dtype, pool: int):
+def _make_pool_sweep(dtype, pool: int, precision):
     """Sweep 4: p2 tile -> pooled tile (recompute p3 in-VMEM, folded
     layer-3 affine, ReLU, max over each ``pool``-row group)."""
 
@@ -119,7 +124,7 @@ def _make_pool_sweep(dtype, pool: int):
         d = jax.lax.dot_general(
             h2, w_ref[...].astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32, precision=precision)
         p3 = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
         y = (p3.astype(f32) * mul3_ref[0][None, :]
              + shift3_ref[0][None, :]).astype(dtype)
@@ -145,6 +150,11 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     lp1, lp2, lp3 = layers
     C1, C2, C3 = (lp.kernel.shape[1] for lp in layers)
     n = R
+    # Strict f32 parity keeps full matmul precision, mirroring the
+    # reference path's HIGHEST on the MXU (models/sa_stage.py); bf16
+    # uses the default (inputs are already bf16).
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(dtype) == jnp.float32 else None)
 
     T = 2048                 # same tile as the backward sweeps
     while R % T:
@@ -164,7 +174,7 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
 
     def layer_sweep(inp, cin, cout, lp, mul, shift, affine_input):
         return pl.pallas_call(
-            _make_layer_sweep(dtype, affine_input),
+            _make_layer_sweep(dtype, affine_input, precision),
             grid=grid,
             in_specs=[
                 const_spec((cin, cout)), const_spec((1, cout)),
@@ -194,7 +204,7 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     # Sweep 3: Gram/colsum of h2 -> layer-3 moments by the covariance
     # identity (no (R, C3) tensor exists yet).
     G2, ch2 = pl.pallas_call(
-        _make_gram_sweep(dtype),
+        _make_gram_sweep(dtype, precision),
         grid=grid,
         in_specs=[const_spec((1, C2)), const_spec((1, C2)),
                   tile_spec(T, C2)],
@@ -213,7 +223,7 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
 
     # Sweep 4: p2 -> pooled.
     pooled = pl.pallas_call(
-        _make_pool_sweep(dtype, pool),
+        _make_pool_sweep(dtype, pool, precision),
         grid=grid,
         in_specs=[
             const_spec((C2, C3)), const_spec((1, C3)),
