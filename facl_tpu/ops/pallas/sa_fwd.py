@@ -156,11 +156,20 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(dtype) == jnp.float32 else None)
 
-    T = 2048                 # same tile as the backward sweeps
-    while R % T:
-        T //= 2
-    assert T % pool == 0, (T, pool)
-    grid = (R // T,)
+    # The narrow (64-lane) sweeps are grid-overhead-bound at small
+    # tiles (R/T = 1280 grid steps at T=2048); bigger tiles amortize.
+    # f32 mode halves them (doubled operand bytes + HIGHEST staging,
+    # 16 MB scoped-VMEM limit); the pool sweep's (T, 256) f32 p3
+    # recompute needs its own smaller tile.
+    bf16 = jnp.dtype(dtype) != jnp.float32
+    Tl = 8192 if bf16 else 4096          # layer + gram sweeps
+    Tp = 4096 if bf16 else 2048          # pool sweep
+    while R % Tl:
+        Tl //= 2
+    while Tp > pool and (R % Tp or Tp % pool):
+        Tp //= 2
+    if Tp < pool or R % Tp or Tp % pool:
+        Tp = pool            # R = (R // pool) * pool always divides
 
     def row2(a):
         return jnp.asarray(a, f32).reshape(1, -1)
@@ -175,13 +184,13 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     def layer_sweep(inp, cin, cout, lp, mul, shift, affine_input):
         return pl.pallas_call(
             _make_layer_sweep(dtype, affine_input, precision),
-            grid=grid,
+            grid=(R // Tl,),
             in_specs=[
                 const_spec((cin, cout)), const_spec((1, cout)),
                 const_spec((1, cin)), const_spec((1, cin)),
-                tile_spec(T, cin),
+                tile_spec(Tl, cin),
             ],
-            out_specs=(tile_spec(T, cout), const_spec((1, cout)),
+            out_specs=(tile_spec(Tl, cout), const_spec((1, cout)),
                        const_spec((1, cout))),
             out_shape=(jax.ShapeDtypeStruct((R, cout), dtype),
                        jax.ShapeDtypeStruct((1, cout), f32),
@@ -205,9 +214,9 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     # identity (no (R, C3) tensor exists yet).
     G2, ch2 = pl.pallas_call(
         _make_gram_sweep(dtype, precision),
-        grid=grid,
+        grid=(R // Tl,),
         in_specs=[const_spec((1, C2)), const_spec((1, C2)),
-                  tile_spec(T, C2)],
+                  tile_spec(Tl, C2)],
         out_specs=(const_spec((C2, C2)), const_spec((1, C2))),
         out_shape=(jax.ShapeDtypeStruct((C2, C2), f32),
                    jax.ShapeDtypeStruct((1, C2), f32)),
@@ -224,14 +233,14 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     # Sweep 4: p2 -> pooled.
     pooled = pl.pallas_call(
         _make_pool_sweep(dtype, pool, precision),
-        grid=grid,
+        grid=(R // Tp,),
         in_specs=[
             const_spec((C2, C3)), const_spec((1, C3)),
             const_spec((1, C2)), const_spec((1, C2)),
             const_spec((1, C3)), const_spec((1, C3)),
-            tile_spec(T, C2),
+            tile_spec(Tp, C2),
         ],
-        out_specs=tile_spec(T // pool, C3),
+        out_specs=tile_spec(Tp // pool, C3),
         out_shape=jax.ShapeDtypeStruct((R // pool, C3), dtype),
         interpret=interpret,
     )(lp3.kernel, row2(lp3.bias), row2(mul2), row2(shift2),

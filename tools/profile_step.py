@@ -40,22 +40,25 @@ def main() -> None:
         data = data.decode()
     prof = json.loads(data)
 
+    root = prof.get("byProgramExcludeIdle") or prof.get("byProgram") or prof
+    total = float(root.get("metrics", {}).get("rawTime", 0.0)) or 1.0
+
     def walk(node, depth, out):
         m = node.get("metrics", {})
         name = node.get("name", "?")
-        t = m.get("time", 0.0)
-        out.append((t, depth, name, m.get("flops", 0.0),
-                    m.get("memoryBandwidth", 0.0)))
+        # xprof >= 2.x reports rawTime (ps); older builds a 'time' fraction.
+        t = (float(m.get("rawTime", 0.0)) / total) or m.get("time", 0.0)
+        out.append((t, depth, name, m.get("flops", 0.0)))
         for ch in node.get("children", []):
             walk(ch, depth + 1, out)
 
-    root = prof.get("byProgram") or prof.get("byCategory") or prof
     out = []
     walk(root, 0, out)
-    print(f"{'time%':>7} {'flops%':>7} {'bw':>6}  op")
-    for t, depth, name, fl, bw in out[:80]:
-        if depth <= 3 and t >= 0.002:
-            print(f"{100*t:7.2f} {100*fl:7.2f} {bw:6.2f}  {'  '*depth}{name}")
+    print(f"total device time: {total / 1e12 * 1e3:.1f} ms")
+    print(f"{'time%':>7} {'flops%':>7}  op")
+    for t, depth, name, fl in out:
+        if depth <= 3 and t >= 0.005:
+            print(f"{100*t:7.2f} {100*fl:7.2f}  {'  '*depth}{name}")
 
 
 if __name__ == "__main__":
