@@ -102,23 +102,28 @@ def _make_sweep1_kernel(pool, dtype):
     def kernel(w3_ref, b3_ref, mul3_ref, shift3_ref, mul2_ref, shift2_ref,
                gi3_ref, w3t_ref,
                p2_ref, dpooled_ref,
-               u3_ref, a3_ref, g2_ref, ch2_ref, q3_ref):
+               out_ref, q3_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            for o in (u3_ref, a3_ref, g2_ref, ch2_ref):
-                o[...] = jnp.zeros_like(o)
+            out_ref[...] = jnp.zeros_like(out_ref)
 
         h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
         dy3 = _dy_top(h2, w3_ref[...], b3_ref[0],
                       mul3_ref[0], shift3_ref[0],
                       dpooled_ref[...], pool, dtype)
         dy3d = dy3.astype(dtype)
-        u3_ref[0, :] += jnp.sum(dy3d.astype(jnp.float32), axis=0)
-        _acc0(a3_ref, dy3d, h2)
-        _acc0(g2_ref, h2, h2)
-        ch2_ref[0, :] += jnp.sum(h2.astype(jnp.float32), axis=0)
+        # All the small accumulations ride ONE packed matmul: separate
+        # (64|256, T) x (T, 64) products run the MXU at <=50% PE
+        # utilization and the row-sums the VPU; stacking left operands
+        # [dy3 | h2] against right [h2 | ones] computes A3, u3, G2, ch2
+        # together at full M and the sums as the ones column.
+        T = h2.shape[0]
+        ones = jnp.ones((T, 1), dtype)
+        left = jnp.concatenate([dy3d, h2], axis=1)
+        right = jnp.concatenate([h2, ones], axis=1)
+        _acc0(out_ref, left, right)
         # Cache q3 = (gi3*dy3) @ W3^T for sweep 2 — (R, C2) bf16 is far
         # cheaper to stream than recomputing the 256-wide top layer a
         # second time. Cast chain matches analytic_sa (matmul result
@@ -136,16 +141,12 @@ def _make_sweep2_kernel(pool, dtype, c0):
     def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
                mul1_ref, shift1_ref, mul2_ref, shift2_ref,
                x_ref, p1_ref, p2_ref, q3_ref,
-               u2_ref, a2_ref, acc1_ref, p1a_ref,
-               g1_ref, ch1_ref, gx_ref, cx_ref,
-               tm1_ref, cnt1_ref, t1x_ref, u1_ref):
+               out_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            for o in (u2_ref, a2_ref, acc1_ref, p1a_ref, g1_ref, ch1_ref,
-                      gx_ref, cx_ref, tm1_ref, cnt1_ref, t1x_ref, u1_ref):
-                o[...] = jnp.zeros_like(o)
+            out_ref[...] = jnp.zeros_like(out_ref)
 
         f32 = jnp.float32
         h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
@@ -160,8 +161,6 @@ def _make_sweep2_kernel(pool, dtype, c0):
                - rc3_ref[0][None, :])
         dy2 = jnp.where(h2.astype(f32) > 0.0, dh2, 0.0)
         dy2d = dy2.astype(dtype)
-        u2_ref[0, :] += jnp.sum(dy2d.astype(f32), axis=0)
-        _acc0(a2_ref, dy2d, h1)
 
         # Layer-1 expansion pieces: q2 = (gi2*dy2) @ W2^T, masked by m1.
         q2 = jax.lax.dot_general(
@@ -170,29 +169,28 @@ def _make_sweep2_kernel(pool, dtype, c0):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(dtype)
         m1f = (h1.astype(f32) > 0.0)
-        mq = jnp.where(m1f, q2.astype(f32), 0.0)
-        acc1_ref[0, :] += jnp.sum(mq, axis=0)
+        mqd = jnp.where(m1f, q2, jnp.zeros_like(q2))
         x_t = x_ref[...].astype(dtype)
-        mqd = mq.astype(dtype)
-        _acc0(p1a_ref, mqd, x_t)
-
-        # h/x-only moments for the layer-1/2 closed forms.
         m1 = m1f.astype(dtype)
-        _acc0(g1_ref, h1, h1)
-        ch1_ref[0, :] += jnp.sum(h1.astype(f32), axis=0)
-        _acc0(gx_ref, x_t, x_t)
-        cx_ref[0, :] += jnp.sum(x_t.astype(f32), axis=0)
-        _acc0(tm1_ref, m1, h1)
-        cnt1_ref[0, :] += jnp.sum(m1f.astype(f32), axis=0)
-        _acc0(t1x_ref, m1, x_t)
-        # U1[:, j*C0 + i] = sum_r m1[r, :] * x[r, i] * h1[r, j], packed
-        # 2-D: one accumulating matmul per input channel.
-        for i in range(c0):
-            c1 = h1.shape[1]
-            u1_ref[:, pl.ds(i * c1, c1)] += jax.lax.dot_general(
-                m1 * x_t[:, i:i + 1], h1,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
+
+        # Every accumulated reduction of this sweep rides ONE packed
+        # matmul. Fragmented, the (64, T) x (T, 64) products run the MXU
+        # at 25% PE utilization, the x-sided ones ((T, 64) x (T, 4)) at
+        # ~3%, and the row-sums burn VPU cycles; stacked
+        #   left  = [dy2 | m1 | m1*q2 | m1*x_i ... | x | h1]   (T, Lw)
+        #   right = [h1 | x | ones]                            (T, Rw)
+        # one (Lw, T) x (T, Rw) product yields A2/u2, TM1/T1x/cnt1,
+        # P1/acc1, the U1 blocks, Gx/cx and G1/ch1 at full M utilization
+        # (unpacked in sa_backward_pallas; cross-block products are
+        # discarded). 0/1 masks are exact in bf16 and all counts < 2^24
+        # accumulate in f32, so cnt1 stays exact.
+        T = h1.shape[0]
+        ones = jnp.ones((T, 1), dtype)
+        left = jnp.concatenate(
+            [dy2d, m1, mqd] + [m1 * x_t[:, i:i + 1] for i in range(c0)]
+            + [x_t, h1], axis=1)
+        right = jnp.concatenate([h1, x_t, ones], axis=1)
+        _acc0(out_ref, left, right)
 
     return kernel
 
@@ -259,10 +257,11 @@ def sa_backward_pallas(x, p1, p2, layers, stats, dpooled,
                 tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes))
 
     gi3 = lp3.scale.astype(f32) * jax.lax.rsqrt(var3 + eps)
-    o_specs, o_shapes = outs((1, C3), (C3, C2), (C2, C2), (1, C2))
-    o_specs = o_specs + (tile_spec(T, C2),)
-    o_shapes = o_shapes + (jax.ShapeDtypeStruct((R, C2), p2.dtype),)
-    u3, A3, G2, ch2, q3 = pl.pallas_call(
+    # Packed sweep-1 output: left = [dy3 | h2], right = [h2 | ones].
+    o_specs = (const_spec((C3 + C2, C2 + 1)), tile_spec(T, C2))
+    o_shapes = (jax.ShapeDtypeStruct((C3 + C2, C2 + 1), f32),
+                jax.ShapeDtypeStruct((R, C2), p2.dtype))
+    out1, q3 = pl.pallas_call(
         _make_sweep1_kernel(pool, dtype),
         grid=grid,
         in_specs=[
@@ -276,16 +275,16 @@ def sa_backward_pallas(x, p1, p2, layers, stats, dpooled,
     )(w3, row2(lp3.bias), row2(mul3), row2(shift3), row2(mul2),
       row2(shift2), row2(gi3), jnp.swapaxes(w3, 0, 1).astype(f32),
       p2, dpooled)
-    u3, ch2 = u3[0], ch2[0]
+    A3, u3 = out1[:C3, :C2], out1[:C3, C2]
+    G2, ch2 = out1[C3:, :C2], out1[C3:, C2]
 
     t3 = _layer_terms(A3, u3, lp3, mean3, var3, G2, ch2, n, eps)
 
-    o_specs, o_shapes = outs(
-        (1, C2), (C2, C1), (1, C1), (C1, C0),
-        (C1, C1), (1, C1), (C0, C0), (1, C0),
-        (C1, C1), (1, C1), (C1, C0), (C1, C1 * C0))
-    (u2, A2, acc1, P1, G1, ch1, Gx, cx,
-     TM1, cnt1, T1x, U1p) = pl.pallas_call(
+    # Packed sweep-2 output: left = [dy2 | m1 | m1*q2 | m1*x_i... | x |
+    # h1], right = [h1 | x | ones] (see the kernel comment).
+    Lw = C2 + (3 + C0) * C1 + C0
+    Rw = C1 + C0 + 1
+    out2, = pl.pallas_call(
         _make_sweep2_kernel(pool, dtype, C0),
         grid=grid,
         in_specs=[
@@ -297,14 +296,26 @@ def sa_backward_pallas(x, p1, p2, layers, stats, dpooled,
             tile_spec(T, C0), tile_spec(T, C1), tile_spec(T, C2),
             tile_spec(T, C2),
         ],
-        out_specs=o_specs, out_shape=o_shapes,
+        out_specs=(const_spec((Lw, Rw)),),
+        out_shape=(jax.ShapeDtypeStruct((Lw, Rw), f32),),
         interpret=interpret,
     )(t3["M"], row2(t3["rc"]),
       row2(gi2), jnp.swapaxes(lp2.kernel, 0, 1).astype(f32),
       row2(mul1), row2(shift1), row2(mul2), row2(shift2),
       x, p1, p2, q3)
-    u2, acc1, ch1, cx, cnt1 = u2[0], acc1[0], ch1[0], cx[0], cnt1[0]
-    U1 = U1p.reshape(C1, C0, C1).transpose(0, 2, 1)   # (C1, C1, C0)
+    ch, cx_col, c1s = slice(0, C1), slice(C1, C1 + C0), C1 + C0
+    r = 0
+    A2, u2 = out2[r:r + C2, ch], out2[r:r + C2, c1s]; r += C2
+    TM1 = out2[r:r + C1, ch]
+    T1x, cnt1 = out2[r:r + C1, cx_col], out2[r:r + C1, c1s]; r += C1
+    P1, acc1 = out2[r:r + C1, cx_col], out2[r:r + C1, c1s]; r += C1
+    # U1[c, j, i] = sum_r m1[r, c] x[r, i] h1[r, j] — the i-th stacked
+    # (C1, C1) block is (m1*x_i)^T h1.
+    U1 = jnp.stack([out2[r + i * C1: r + (i + 1) * C1, ch]
+                    for i in range(C0)], axis=-1)    # (C1, C1, C0)
+    r += C0 * C1
+    Gx, cx = out2[r:r + C0, cx_col], out2[r:r + C0, c1s]; r += C0
+    G1, ch1 = out2[r:r + C1, ch], out2[r:r + C1, c1s]
 
     t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
 
