@@ -39,11 +39,12 @@ def main() -> None:
     # mode; BENCH_BATCH scales the per-step videos (BASELINE config 4's
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_SA_IMPL: hybrid2 (full-Pallas SA stage — the single-chip
-    # flagship, +10% over the XLA path, docs/DESIGN.md section 3) |
-    # reference (direct BN reduce; GSPMD-safe default in ModelConfig) |
-    # hybrid | analytic | covar | pallas.
-    sa_impl = os.environ.get("BENCH_SA_IMPL", "hybrid2")
+    # BENCH_SA_IMPL: pair (full-Pallas SA stage in the paired-row
+    # full-lane-width layout — the single-chip flagship, +9% over
+    # hybrid2 and +23% over the XLA path, docs/DESIGN.md section 3) |
+    # hybrid2 | reference (direct BN reduce; GSPMD-safe default in
+    # ModelConfig) | hybrid | analytic | covar | pallas.
+    sa_impl = os.environ.get("BENCH_SA_IMPL", "pair")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype,
                                                 sa_impl=sa_impl))

@@ -68,7 +68,7 @@ class SetAbstractionStage(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
-    impl: str = "auto"   # auto|reference|covar|pallas|analytic|hybrid|hybrid2
+    impl: str = "auto"   # auto|reference|covar|pallas|analytic|hybrid|hybrid2|pair
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
@@ -140,6 +140,20 @@ class SetAbstractionStage(nn.Module):
                         " use 'analytic' when input gradients are needed")
                 from facl_tpu.ops.pallas.sa_fwd import sa_train_pfwd
                 pooled, stats = sa_train_pfwd(
+                    x, layers, self.epsilon, jnp.dtype(self.dtype),
+                    jax.default_backend() == "cpu")
+            elif self.impl == "pair":
+                # hybrid2 in the paired-row (full-lane-width) layout:
+                # rows r and r+R/2 ride side-by-side as (R/2, 2C) with
+                # block-diagonal weights, so the 64-wide trunk uses all
+                # 128 VPU lanes and the full MXU (ops/pallas/sa_pair.py).
+                # Same zero-dx contract as 'hybrid'/'hybrid2'.
+                if self.input_grad:
+                    raise ValueError(
+                        "sa impl 'pair' defines a zero input cotangent;"
+                        " use 'analytic' when input gradients are needed")
+                from facl_tpu.ops.pallas.sa_pair import sa_train_pair
+                pooled, stats = sa_train_pair(
                     x, layers, self.epsilon, jnp.dtype(self.dtype),
                     jax.default_backend() == "cpu")
             else:

@@ -1,0 +1,502 @@
+"""Paired-row (full-lane-width) set-abstraction stage: ``sa_impl="pair"``.
+
+The SA trunk is 64 channels wide, but the TPU vector unit is 8x128
+lanes and the MXU a 128x128 systolic array: every elementwise op on a
+(rows, 64) tile runs at 50% lane utilization (Mosaic pads the last dim
+to the native 128-lane tile), the (T,64)x(64,64) layer matmul feeds the
+MXU at 25% PE utilization, and ops against the 4-wide input at ~3%.
+
+This module runs the whole hybrid2 pipeline (ops/pallas/sa_fwd.py +
+sa_bwd.py — semantics: the train-mode Dense->BN->ReLU x3 + K-maxpool of
+the reference encoder, cn3d_model_conbag.py:43-88) in a *paired-row
+layout*: original rows r and r + R/2 ride side-by-side as one
+(R/2, 2C) array, and every weight matrix becomes its 2x2 block-diagonal
+``[[W, 0], [0, W]]``. Per-element results are EXACTLY the original
+values — the off-diagonal zeros contribute exact zeros to the f32 MXU
+accumulation — while every elementwise op runs at full 128-lane width
+and the layer matmuls at full MXU occupancy ((T/2,128)x(128,128) does
+2x the nominal FLOPs of (T,64)x(64,64) but 4x the useful work per
+cycle).
+
+Layout invariants:
+
+* Pairing is (r, r + R/2), so a paired row tile is two block-index maps
+  into the SAME rows array (no interleave shuffle anywhere).
+* ``pool`` consecutive rows share one output row, and R/2 is a multiple
+  of ``pool`` whenever the pooled-row count P is even — so a pool group
+  lives entirely in one half: paired pooling is the ordinary
+  (T//pool, pool, 2C) max, producing pooled rows [g | g + P/2] side by
+  side, un-paired by one cheap XLA concat (and the cotangent re-paired
+  by its transpose).
+* BatchNorm moments accumulate as (1, 2C) lane sums and are folded
+  (left + right) on the host — a reduction-order change vs the
+  unpaired sweeps, within the same allclose parity bar as hybrid2's
+  tile-partial sums.
+* The p1/p2 residuals are written and re-read in paired layout; only
+  x, pooled, and dpooled cross the pairing boundary.
+
+Forward sweeps 2-4 and backward sweep 1 reuse the hybrid2 kernel makers
+verbatim (their code is shape-generic); only the x-touching sweeps need
+paired variants (the input halves arrive as two operands, and the
+layer-1 coupling blocks (m1*x_i)^T h1 need each half's x column
+broadcast over its own 64 lanes).
+
+Input cotangent contract: ZERO, like hybrid/hybrid2 — grouped
+neighborhoods are data in the training step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from facl_tpu.ops.fused_sa import SALayerParams
+from facl_tpu.ops.pallas.sa_bwd import (
+    _acc0,
+    _dy_top,
+    _fold_affine,
+    _h_from_p,
+    _layer_terms,
+    _make_sweep1_kernel,
+)
+from facl_tpu.ops.pallas.sa_fwd import (
+    _finalize,
+    _make_gram_sweep,
+    _make_layer_sweep,
+    _make_pool_sweep,
+)
+
+Array = jax.Array
+f32 = jnp.float32
+
+
+def _pair2(v):
+    """(C,) per-channel vector -> (1, 2C) f32 row [v | v]."""
+    v = jnp.asarray(v, f32).reshape(-1)
+    return jnp.concatenate([v, v]).reshape(1, -1)
+
+
+def _blkdiag(w):
+    """(a, b) -> (2a, 2b) f32 block-diagonal [[w, 0], [0, w]]."""
+    w = jnp.asarray(w, f32)
+    a, b = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1),
+         jnp.concatenate([z, w], axis=1)], axis=0)
+
+
+def _fold2(block, a, b):
+    """Sum the two on-diagonal (a, b) sub-blocks of a (2a, 2b) paired
+    accumulator block (the off-diagonal cross products are discarded)."""
+    return block[:a, :b] + block[a:, b:]
+
+
+def _foldlanes(v, c):
+    """(1, 2c) paired lane accumulator -> (1, c) left + right halves."""
+    return v[:, :c] + v[:, c:]
+
+
+def _make_pair_layer1_kernel(dtype, precision):
+    """Forward sweep 1: build the paired input tile from the lo/hi row
+    blocks and emit p1 (paired) + its moment sums."""
+
+    def kernel(w_ref, b_ref, lo_ref, hi_ref, p_ref, s_ref, ss_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            ss_ref[...] = jnp.zeros_like(ss_ref)
+
+        xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
+                             axis=1).astype(dtype)
+        d = jax.lax.dot_general(
+            xp, w_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        p = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
+        p_ref[...] = p
+        pf = p.astype(f32)
+        s_ref[0, :] += jnp.sum(pf, axis=0)
+        ss_ref[0, :] += jnp.sum(pf * pf, axis=0)
+
+    return kernel
+
+
+def _make_sweep2_pair_kernel(pool, dtype, c0, c1):
+    """Backward sweep 2 in paired layout — sa_bwd._make_sweep2_kernel
+    with (a) the input halves arriving as two operands and (b) each
+    half's x column broadcast over its own c1 lanes in the layer-1
+    coupling blocks."""
+
+    def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
+               mul1_ref, shift1_ref, mul2_ref, shift2_ref,
+               lo_ref, hi_ref, p1_ref, p2_ref, q3_ref,
+               out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
+        dh2 = (q3_ref[...].astype(f32)
+               - jax.lax.dot_general(
+                   h2, m3c_ref[...].astype(dtype),
+                   dimension_numbers=(((1,), (0,)), ((), ())),
+                   preferred_element_type=f32).astype(dtype).astype(f32)
+               - rc3_ref[0][None, :])
+        dy2 = jnp.where(h2.astype(f32) > 0.0, dh2, 0.0)
+        dy2d = dy2.astype(dtype)
+
+        q2 = jax.lax.dot_general(
+            dy2d * gi2_ref[0].astype(dtype)[None, :],
+            w2t_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dtype)
+        m1f = (h1.astype(f32) > 0.0)
+        mqd = jnp.where(m1f, q2, jnp.zeros_like(q2))
+        xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
+                             axis=1).astype(dtype)
+        m1 = m1f.astype(dtype)
+
+        # Paired left/right stacks (module docstring): per original
+        # input channel i, the left half's lanes see x_left[:, i] and
+        # the right half's x_right[:, i].
+        T = h1.shape[0]
+        xi_blocks = [
+            m1 * jnp.concatenate(
+                [jnp.broadcast_to(xp[:, i:i + 1], (T, c1)),
+                 jnp.broadcast_to(xp[:, c0 + i:c0 + i + 1], (T, c1))],
+                axis=1)
+            for i in range(c0)
+        ]
+        ones = jnp.ones((T, 1), dtype)
+        left = jnp.concatenate([dy2d, m1, mqd] + xi_blocks + [xp, h1],
+                               axis=1)
+        right = jnp.concatenate([h1, xp, ones], axis=1)
+        _acc0(out_ref, left, right)
+
+    return kernel
+
+
+def _pick_tiles(Rh, pool, bf16):
+    """Paired-row tile sizes (half the hybrid2 row counts: each paired
+    row is two original rows)."""
+    Tl = 4096 if bf16 else 2048          # fwd layer + gram sweeps
+    Tp = 2048 if bf16 else 1024          # fwd pool sweep
+    Tb = 2048                            # bwd sweeps
+    while Rh % Tl:
+        Tl //= 2
+    while Tp > pool and (Rh % Tp or Tp % pool):
+        Tp //= 2
+    if Tp < pool or Rh % Tp or Tp % pool:
+        Tp = pool
+    while Rh % Tb or Tb % pool:
+        Tb //= 2
+    if not Tb:
+        Tb = pool
+    return Tl, Tp, Tb
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _tile_spec(rows, c, offset_blocks=0):
+    return pl.BlockSpec((rows, c), lambda t: (t + offset_blocks, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
+                    interpret: bool = False):
+    """4-sweep paired forward. xf: (R, C0) flattened rows (compute
+    dtype) with R/2 a multiple of ``pool``. Returns
+    (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2))."""
+    R, C0 = xf.shape
+    Rh = R // 2
+    lp1, lp2, lp3 = layers
+    C1, C2, C3 = (lp.kernel.shape[1] for lp in layers)
+    n = R
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(dtype) == jnp.float32 else None)
+    bf16 = jnp.dtype(dtype) != jnp.float32
+    Tl, Tp, _ = _pick_tiles(Rh, pool, bf16)
+
+    # Sweep 1: x (lo/hi halves) -> paired p1 + moments.
+    nb = Rh // Tl
+    p1p, s1, ss1 = pl.pallas_call(
+        _make_pair_layer1_kernel(dtype, precision),
+        grid=(nb,),
+        in_specs=[
+            _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
+            _tile_spec(Tl, C0), _tile_spec(Tl, C0, offset_blocks=nb),
+        ],
+        out_specs=(_tile_spec(Tl, 2 * C1), _const_spec((1, 2 * C1)),
+                   _const_spec((1, 2 * C1))),
+        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
+                   jax.ShapeDtypeStruct((1, 2 * C1), f32),
+                   jax.ShapeDtypeStruct((1, 2 * C1), f32)),
+        interpret=interpret,
+    )(_blkdiag(lp1.kernel), _pair2(lp1.bias), xf, xf)
+    mean1, var1 = _finalize(_foldlanes(s1, C1), _foldlanes(ss1, C1), n)
+    mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
+
+    # Sweep 2: paired p1 -> paired p2 + moments (hybrid2 kernel,
+    # paired shapes).
+    p2p, s2, ss2 = pl.pallas_call(
+        _make_layer_sweep(dtype, True, precision),
+        grid=(Rh // Tl,),
+        in_specs=[
+            _const_spec((2 * C1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+            _tile_spec(Tl, 2 * C1),
+        ],
+        out_specs=(_tile_spec(Tl, 2 * C2), _const_spec((1, 2 * C2)),
+                   _const_spec((1, 2 * C2))),
+        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C2), dtype),
+                   jax.ShapeDtypeStruct((1, 2 * C2), f32),
+                   jax.ShapeDtypeStruct((1, 2 * C2), f32)),
+        interpret=interpret,
+    )(_blkdiag(lp2.kernel), _pair2(lp2.bias), _pair2(mul1),
+      _pair2(shift1), p1p)
+    mean2, var2 = _finalize(_foldlanes(s2, C2), _foldlanes(ss2, C2), n)
+    mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)
+
+    # Sweep 3: Gram/colsum of paired h2 -> layer-3 moments via the
+    # covariance identity (fold the halves first; cross blocks unused).
+    Gp, chp = pl.pallas_call(
+        _make_gram_sweep(dtype, precision),
+        grid=(Rh // Tl,),
+        in_specs=[_const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+                  _tile_spec(Tl, 2 * C2)],
+        out_specs=(_const_spec((2 * C2, 2 * C2)),
+                   _const_spec((1, 2 * C2))),
+        out_shape=(jax.ShapeDtypeStruct((2 * C2, 2 * C2), f32),
+                   jax.ShapeDtypeStruct((1, 2 * C2), f32)),
+        interpret=interpret,
+    )(_pair2(mul2), _pair2(shift2), p2p)
+    G2 = _fold2(Gp, C2, C2)
+    ch2 = _foldlanes(chp, C2)[0]
+    w3f = lp3.kernel.astype(f32)
+    b3f = lp3.bias.astype(f32)
+    mean3 = (ch2 @ w3f) / n + b3f
+    e2 = (jnp.einsum("ic,ic->c", G2 @ w3f, w3f) / n
+          + b3f * (2.0 * mean3 - b3f))
+    var3 = e2 - mean3 * mean3
+    mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
+
+    # Sweep 4: paired p2 -> paired pooled (rows [g | g + P/2]).
+    pooled_p = pl.pallas_call(
+        _make_pool_sweep(dtype, pool, precision),
+        grid=(Rh // Tp,),
+        in_specs=[
+            _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
+            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _const_spec((1, 2 * C3)), _const_spec((1, 2 * C3)),
+            _tile_spec(Tp, 2 * C2),
+        ],
+        out_specs=_tile_spec(Tp // pool, 2 * C3),
+        out_shape=jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype),
+        interpret=interpret,
+    )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul2),
+      _pair2(shift2), _pair2(mul3), _pair2(shift3), p2p)
+    pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
+
+    stats = [(mean1, var1), (mean2, var2), (mean3, var3)]
+    return pooled, stats, p1p, p2p
+
+
+def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
+                     eps, dtype, interpret=False):
+    """2-sweep paired backward. xf (R, C0) rows (compute dtype),
+    p1p/p2p the paired residuals, dpooled (R//pool, C3). Returns the
+    SALayerParams cotangent tuple (same closed-form layer algebra as
+    sa_bwd.sa_backward_pallas, paired accumulator blocks folded)."""
+    R, C0 = xf.shape
+    Rh = R // 2
+    C1, C2 = p1p.shape[1] // 2, p2p.shape[1] // 2
+    P, C3 = dpooled.shape
+    pool = R // P
+    n = R
+    lp1, lp2, lp3 = layers
+    (mean1, var1), (mean2, var2), (mean3, var3) = stats
+    mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
+    mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)
+    mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
+    gi2 = lp2.scale.astype(f32) * jax.lax.rsqrt(var2 + eps)
+    gi3 = lp3.scale.astype(f32) * jax.lax.rsqrt(var3 + eps)
+
+    bf16 = jnp.dtype(dtype) != jnp.float32
+    _, _, Tb = _pick_tiles(Rh, pool, bf16)
+    grid = (Rh // Tb,)
+    tg = Tb // pool
+
+    # Re-pair the pooled cotangent: paired pooled row g = [g | g + P/2].
+    dpp = jnp.concatenate([dpooled[:P // 2], dpooled[P // 2:]], axis=1)
+
+    # Sweep 1 (hybrid2 kernel, paired shapes): packed left = [dy3 | h2],
+    # right = [h2 | ones].
+    out1, q3p = pl.pallas_call(
+        _make_sweep1_kernel(pool, dtype),
+        grid=grid,
+        in_specs=[
+            _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
+            _const_spec((1, 2 * C3)), _const_spec((1, 2 * C3)),
+            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _const_spec((1, 2 * C3)), _const_spec((2 * C3, 2 * C2)),
+            _tile_spec(Tb, 2 * C2), _tile_spec(tg, 2 * C3),
+        ],
+        out_specs=(_const_spec((2 * (C3 + C2), 2 * C2 + 1)),
+                   _tile_spec(Tb, 2 * C2)),
+        out_shape=(jax.ShapeDtypeStruct((2 * (C3 + C2), 2 * C2 + 1), f32),
+                   jax.ShapeDtypeStruct((Rh, 2 * C2), p2p.dtype)),
+        interpret=interpret,
+    )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul3),
+      _pair2(shift3), _pair2(mul2), _pair2(shift2), _pair2(gi3),
+      _blkdiag(jnp.swapaxes(lp3.kernel, 0, 1)), p2p, dpp)
+    one = 2 * C2
+    A3 = _fold2(out1[:2 * C3, :2 * C2], C3, C2)
+    u3 = out1[:C3, one] + out1[C3:2 * C3, one]
+    G2 = _fold2(out1[2 * C3:, :2 * C2], C2, C2)
+    ch2 = out1[2 * C3:2 * C3 + C2, one] + out1[2 * C3 + C2:, one]
+
+    t3 = _layer_terms(A3, u3, lp3, mean3, var3, G2, ch2, n, eps)
+
+    # Sweep 2 (paired kernel): left = [dy2 | m1 | m1*q2 | m1*x_i... |
+    # x | h1], right = [h1 | x | ones], all lanes paired.
+    Lw = 2 * C2 + (3 + C0) * 2 * C1 + 2 * C0
+    Rw = 2 * C1 + 2 * C0 + 1
+    nb = Rh // Tb
+    out2, = pl.pallas_call(
+        _make_sweep2_pair_kernel(pool, dtype, C0, C1),
+        grid=grid,
+        in_specs=[
+            _const_spec((2 * C2, 2 * C2)),
+            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _const_spec((2 * C2, 2 * C1)),
+            _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _tile_spec(Tb, C0), _tile_spec(Tb, C0, offset_blocks=nb),
+            _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
+            _tile_spec(Tb, 2 * C2),
+        ],
+        out_specs=(_const_spec((Lw, Rw)),),
+        out_shape=(jax.ShapeDtypeStruct((Lw, Rw), f32),),
+        interpret=interpret,
+    )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
+      _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
+      _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
+      xf, xf, p1p, p2p, q3p)
+
+    hL, hR = slice(0, C1), slice(C1, 2 * C1)
+    xL = slice(2 * C1, 2 * C1 + C0)
+    xR = slice(2 * C1 + C0, 2 * C1 + 2 * C0)
+    one = 2 * C1 + 2 * C0
+
+    def blk(r0, a):
+        lo, hi = out2[r0:r0 + a], out2[r0 + a:r0 + 2 * a]
+        return lo, hi
+
+    r = 0
+    lo, hi = blk(r, C2)
+    A2 = lo[:, hL] + hi[:, hR]
+    u2 = lo[:, one] + hi[:, one]
+    r += 2 * C2
+    lo, hi = blk(r, C1)
+    TM1 = lo[:, hL] + hi[:, hR]
+    T1x = lo[:, xL] + hi[:, xR]
+    cnt1 = lo[:, one] + hi[:, one]
+    r += 2 * C1
+    lo, hi = blk(r, C1)
+    P1 = lo[:, xL] + hi[:, xR]
+    acc1 = lo[:, one] + hi[:, one]
+    r += 2 * C1
+    U1 = jnp.stack(
+        [blk(r + i * 2 * C1, C1)[0][:, hL]
+         + blk(r + i * 2 * C1, C1)[1][:, hR]
+         for i in range(C0)], axis=-1)               # (C1, C1, C0)
+    r += C0 * 2 * C1
+    lo, hi = blk(r, C0)
+    Gx = lo[:, xL] + hi[:, xR]
+    cx = lo[:, one] + hi[:, one]
+    r += 2 * C0
+    lo, hi = blk(r, C1)
+    G1 = lo[:, hL] + hi[:, hR]
+    ch1 = lo[:, one] + hi[:, one]
+
+    t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
+
+    M2, rc2 = t2["M"], t2["rc"]
+    u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2) - cnt1 * rc2
+    A1 = P1 - jnp.einsum("jc,cji->ci", M2, U1) - rc2[:, None] * T1x
+    t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
+
+    def as_grad(lp, t):
+        return SALayerParams(
+            kernel=t["dW"].astype(lp.kernel.dtype),
+            bias=t["db"].astype(lp.bias.dtype),
+            scale=t["dgamma"].astype(lp.scale.dtype),
+            shift=t["dbeta"].astype(lp.shift.dtype))
+
+    return (as_grad(lp1, t1), as_grad(lp2, t2), as_grad(lp3, t3))
+
+
+def _pair_impl(x, layers, eps, dtype, interpret):
+    *lead, K, C0 = x.shape
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    xf = x.astype(dtype).reshape(rows, C0)
+    pooled, stats, p1p, p2p = sa_forward_pair(
+        xf, layers, K, eps, dtype, interpret)
+    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
+                  eps: float = 1e-5, dtype=jnp.float32,
+                  interpret: bool = False):
+    """Paired-layout Pallas forward + backward. x: (..., K, C0);
+    requires 3 layers and an even pooled-row count (so each pool group
+    lives in one half). Input cotangent is ZERO by contract."""
+    assert len(layers) == 3, "pair impl is specialized to L=3"
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    assert (rows // x.shape[-2]) % 2 == 0, \
+        "pair impl needs an even pooled-row count"
+    pooled, stats, _, _, _ = _pair_impl(x, tuple(layers), eps, dtype,
+                                        interpret)
+    return pooled, stats
+
+
+def _pr_fwd(x, layers, eps, dtype, interpret):
+    layers = tuple(layers)
+    pooled, stats, _, p1p, p2p = _pair_impl(x, layers, eps, dtype,
+                                            interpret)
+    return (pooled, stats), (x, p1p, p2p, layers, stats)
+
+
+def _pr_bwd(eps, dtype, interpret, res, cts):
+    dpooled, _ = cts          # stats cotangent ignored (state update)
+    x, p1p, p2p, layers, stats = res
+    C0 = x.shape[-1]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    C3 = dpooled.shape[-1]
+    dlayers = sa_backward_pair(
+        x.astype(dtype).reshape(rows, C0), p1p, p2p, layers, stats,
+        dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
+    return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
+
+
+sa_train_pair.defvjp(_pr_fwd, _pr_bwd)

@@ -1,0 +1,135 @@
+"""Paired-row SA stage (ops/pallas/sa_pair.py, sa_impl="pair"):
+full-lane-width Pallas forward + backward — interpret mode on CPU.
+
+Per-element forward values are EXACTLY hybrid2's op sequence (the
+block-diagonal zeros contribute exact zeros), but the BatchNorm moments
+fold left/right halves instead of summing tiles in row order, so parity
+vs the reference is asserted at the same allclose bar as hybrid2."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facl_tpu.ops.pallas.sa_pair import sa_train_pair
+from tests.test_analytic_sa import make_layers, reference_forward
+
+
+def test_pair_forward_matches_reference(rng):
+    B, S, K, C = 2, 4, 8, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    layers = make_layers(rng, widths, C)
+    eps = 1e-5
+
+    pooled_p, stats_p = sa_train_pair(x, layers, eps, jnp.float32, True)
+    pooled_r, stats_r = reference_forward(x, layers, eps, jnp.float32)
+    assert pooled_p.shape == pooled_r.shape
+    np.testing.assert_allclose(np.asarray(pooled_p), np.asarray(pooled_r),
+                               rtol=1e-4, atol=1e-5)
+    for i, ((mp, vp), (mr, vr)) in enumerate(zip(stats_p, stats_r)):
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mr),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"mean{i}")
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vr),
+                                   rtol=5e-4, atol=1e-5, err_msg=f"var{i}")
+
+
+def test_pair_grad_matches_autodiff(rng):
+    B, S, K, C = 2, 4, 8, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    layers = make_layers(rng, widths, C)
+    eps = 1e-5
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+
+    def loss(fn, extra=()):
+        def f(layers):
+            pooled, _ = fn(x, layers, eps, jnp.float32, *extra)
+            return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+        return f
+
+    gl_p = jax.grad(loss(sa_train_pair, (True,)))(layers)
+    gl_r = jax.grad(loss(reference_forward))(layers)
+    for lp, lr in zip(gl_p, gl_r):
+        for name in ("kernel", "scale", "shift"):
+            p = np.asarray(getattr(lp, name), np.float32)
+            r = np.asarray(getattr(lr, name), np.float32)
+            sc = max(1.0, float(np.abs(r).max()))
+            np.testing.assert_allclose(p, r, rtol=2e-3, atol=2e-3 * sc,
+                                       err_msg=name)
+
+
+def test_pair_bf16_statistical_parity(rng):
+    """Same statistical bar as hybrid2 (tests/test_sa_pfwd.py): bf16
+    pool ties regroup under the different moment reduction order."""
+    from facl_tpu.ops.analytic_sa import sa_train_analytic
+
+    B, S, K, C = 32, 8, 16, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    layers = make_layers(rng, widths, C)
+    eps, dtype = 1e-5, jnp.bfloat16
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+
+    def loss(fn, extra=()):
+        def f(layers):
+            pooled, _ = fn(x, layers, eps, dtype, *extra)
+            return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+        return f
+
+    gl_p = jax.grad(loss(sa_train_pair, (True,)))(layers)
+    gl_a = jax.grad(loss(sa_train_analytic))(layers)
+    for lp, la in zip(gl_p, gl_a):
+        for name in ("kernel", "scale", "shift"):
+            p = np.asarray(getattr(lp, name), np.float32)
+            a = np.asarray(getattr(la, name), np.float32)
+            relf = np.linalg.norm(p - a) / max(np.linalg.norm(a), 1e-9)
+            cos = float((p * a).sum() /
+                        (np.linalg.norm(p) * np.linalg.norm(a) + 1e-12))
+            assert relf < 0.15 and cos > 0.99, (name, relf, cos)
+
+
+def test_stage_pair_runs_and_matches(rng):
+    from facl_tpu.models.sa_stage import SetAbstractionStage
+
+    x = jnp.asarray(rng.normal(size=(4, 6, 8, 4)).astype(np.float32))
+
+    def run(impl):
+        stage = SetAbstractionStage((8, 8, 16), impl=impl)
+        variables = stage.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(v):
+            out, mut = stage.apply(v, x, train=True,
+                                   mutable=["batch_stats"])
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (l, bs), g = jax.value_and_grad(loss, has_aux=True)(variables)
+        return l, bs, g["params"]
+
+    l_r, bs_r, g_r = run("reference")
+    l_p, bs_p, g_p = run("pair")
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_r),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5), bs_p, bs_r)
+    for k in g_r:
+        if k.startswith("bias"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(g_p[k]), np.asarray(g_r[k]), rtol=2e-3, atol=2e-3,
+            err_msg=k)
+
+
+def test_stage_pair_rejects_input_grad(rng):
+    from facl_tpu.models.sa_stage import SetAbstractionStage
+
+    x = jnp.asarray(rng.normal(size=(2, 2, 4, 4)).astype(np.float32))
+    stage = SetAbstractionStage((4, 4, 8), impl="pair", input_grad=True)
+    with pytest.raises(ValueError, match="input cotangent"):
+        stage.init(jax.random.PRNGKey(0), x, train=True)
+
+
+def test_pair_rejects_odd_pooled_rows(rng):
+    x = jnp.asarray(rng.normal(size=(1, 3, 8, 4)).astype(np.float32))
+    layers = make_layers(rng, (8, 8, 16), 4)
+    with pytest.raises(AssertionError, match="even pooled-row"):
+        sa_train_pair(x, layers, 1e-5, jnp.float32, True)
