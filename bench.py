@@ -45,9 +45,13 @@ def main() -> None:
     # hybrid2 | reference (direct BN reduce; GSPMD-safe default in
     # ModelConfig) | hybrid | analytic | covar | pallas.
     sa_impl = os.environ.get("BENCH_SA_IMPL", "pair")
+    # Channel-major neighborhoods feed the paired SA sweeps transpose-
+    # free (BENCH_CF=0 to disable; only meaningful with sa_impl=pair).
+    cf = os.environ.get("BENCH_CF", "1" if sa_impl == "pair" else "0") == "1"
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype,
-                                                sa_impl=sa_impl))
+                                                sa_impl=sa_impl,
+                                                channels_first=cf))
     # BENCH_SELECT_IMPL / BENCH_GATHER_IMPL: auto | xla | pallas.
     cfg = cfg.replace(grouping=dataclasses.replace(
         cfg.grouping,

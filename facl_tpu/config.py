@@ -70,9 +70,18 @@ class ModelConfig:
     # backward (ops/pallas/sa_bwd.py); "hybrid2" = Pallas forward sweeps
     # + the same backward (ops/pallas/sa_fwd.py); "pallas" opts into the
     # fused sweep kernels (ops/pallas/sa_kernel.py) and "covar" into
-    # Gram-matrix forward statistics. All golden-tested; measured
-    # standings in docs/DESIGN.md section 3.
+    # Gram-matrix forward statistics; "pair" = hybrid2 in the paired-row
+    # full-lane-width layout (ops/pallas/sa_pair.py) — the single-chip
+    # flagship. All golden-tested; measured standings in docs/DESIGN.md
+    # section 3.
     sa_impl: str = "reference"
+    # Channel-major (B, C, S, K) neighborhoods through grouping + the SA
+    # stage — the fused select+gather kernel's native layout, removing
+    # the full-tensor transpose between it and the paired SA sweeps.
+    # Only the sa_impl="pair" train path consumes it natively; other
+    # impls (and eval) transpose back, so enable it together with
+    # sa_impl="pair" (bench.py does).
+    channels_first: bool = False
 
 
 @dataclass(frozen=True)

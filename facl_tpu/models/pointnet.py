@@ -45,7 +45,8 @@ class PointNetPlus(nn.Module):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         self.sa_stage = SetAbstractionStage(
             self.cfg.sa_widths, bn_momentum=self.cfg.bn_momentum,
-            dtype=dtype, impl=self.cfg.sa_impl)
+            dtype=dtype, impl=self.cfg.sa_impl,
+            channels_first=self.cfg.channels_first)
         self.stage2_mlp = PointMLP(self.cfg.stage2_widths,
                                    bn_momentum=self.cfg.bn_momentum, dtype=dtype)
         self.head = EmbedHead(self.cfg.fc_hidden, self.cfg.embed_dim,
@@ -63,7 +64,10 @@ class PointNetPlus(nn.Module):
           x_global (B, D)    per-video global embedding
         """
         G = self.cfg.num_crops
-        GB, S, K, C = neighborhoods.shape
+        if self.cfg.channels_first:
+            GB, C, S, K = neighborhoods.shape
+        else:
+            GB, S, K, C = neighborhoods.shape
         B = GB // G
         if C != self.cfg.in_features:
             raise ValueError(

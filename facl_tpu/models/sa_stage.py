@@ -72,12 +72,29 @@ class SetAbstractionStage(nn.Module):
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
+    # Channel-major (B, C, S, K) input (the fused select+gather kernel's
+    # native layout). Consumed transpose-free by the "pair" train path;
+    # every other impl (and eval mode) transposes back to channels-last
+    # first — correct everywhere, fast where it matters.
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        """x: (..., K, C) — pooling runs over the second-to-last axis.
-        Returns (..., C_last)."""
-        *lead, K, C = x.shape
+        """x: (..., K, C) — pooling runs over the second-to-last axis —
+        or (B, C, S, K) with ``channels_first``. Returns (..., C_last)."""
+        cf = self.channels_first
+        if cf:
+            if x.ndim != 4:
+                raise ValueError("channels_first expects (B, C, S, K) "
+                                 f"neighborhoods, got {x.shape}")
+            if not (train and self.impl == "pair"):
+                x = jnp.transpose(x, (0, 2, 3, 1))
+                cf = False
+        if cf:
+            B_, C, S_, K = x.shape
+            lead = [B_, S_]
+        else:
+            *lead, K, C = x.shape
         cin = C
         layers = []
         running = []
@@ -152,8 +169,10 @@ class SetAbstractionStage(nn.Module):
                     raise ValueError(
                         "sa impl 'pair' defines a zero input cotangent;"
                         " use 'analytic' when input gradients are needed")
-                from facl_tpu.ops.pallas.sa_pair import sa_train_pair
-                pooled, stats = sa_train_pair(
+                from facl_tpu.ops.pallas.sa_pair import (sa_train_pair,
+                                                         sa_train_pair_cf)
+                fn = sa_train_pair_cf if cf else sa_train_pair
+                pooled, stats = fn(
                     x, layers, self.epsilon, jnp.dtype(self.dtype),
                     jax.default_backend() == "cpu")
             else:

@@ -79,7 +79,7 @@ def _interpret_pallas() -> bool:
 
 
 @partial(jax.jit, static_argnames=("num_centroids", "knn_k", "method",
-                                   "gather_impl", "select_impl"))
+                                   "gather_impl", "select_impl", "layout"))
 def group_points(
     points: Array,
     num_centroids: int = 64,
@@ -88,6 +88,7 @@ def group_points(
     method: str = "exact",
     gather_impl: str = "auto",
     select_impl: str = "auto",
+    layout: str = "bskc",
 ) -> Tuple[Array, Array]:
     """Ball-query/kNN grouping (semantics of utils_my.py:255-291).
 
@@ -109,9 +110,15 @@ def group_points(
         "auto" picks pallas on TPU for method="exact".
 
     Returns:
-      neighborhoods: (B, S, K, C) gathered features, xyz re-centered.
+      neighborhoods: gathered features, xyz re-centered — (B, S, K, C),
+        or (B, C, S, K) for ``layout="bcsk"`` (the fused kernel's native
+        channel-major layout, consumed transpose-free by the paired SA
+        stage; non-fused impl combinations fall back to an explicit
+        transpose).
       centers: (B, S, 3) centroid coordinates.
     """
+    if layout not in ("bskc", "bcsk"):
+        raise ValueError(f"unknown layout {layout!r}")
     B, N, C = points.shape
     S, K = num_centroids, knn_k
     if K > N:
@@ -133,9 +140,14 @@ def group_points(
         # separate select+gather pair costs two passes over the same
         # in-VMEM state.
         from facl_tpu.ops.pallas.select import select_gather_knn_ball
+        cf = layout == "bcsk"
         grouped = select_gather_knn_ball(points, S, K, radius_sq,
-                                         _interpret_pallas())
-        grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+                                         _interpret_pallas(), cf)
+        if cf:
+            grouped = grouped.at[:, :3].add(
+                -jnp.swapaxes(centers, 1, 2)[:, :, :, None])
+        else:
+            grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
         return grouped, centers
 
     if use_pallas_select:
@@ -160,6 +172,8 @@ def group_points(
             points[:, None, :, :], idx[..., None], axis=2
         )                                                  # (B, S, K, C)
     grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+    if layout == "bcsk":
+        grouped = jnp.transpose(grouped, (0, 3, 1, 2))
     return grouped, centers
 
 

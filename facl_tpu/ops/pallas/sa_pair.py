@@ -101,9 +101,12 @@ def _foldlanes(v, c):
     return v[:, :c] + v[:, c:]
 
 
-def _make_pair_layer1_kernel(dtype, precision):
-    """Forward sweep 1: build the paired input tile from the lo/hi row
-    blocks and emit p1 (paired) + its moment sums."""
+def _make_pair_layer1_kernel(dtype, precision, cf: bool):
+    """Forward sweep 1: build the paired input tile from the lo/hi
+    blocks and emit p1 (paired) + its moment sums. ``cf`` selects
+    channels-first (1, C0, T) blocks — the fused select+gather kernel's
+    native layout — contracted over the channel (sublane) axis directly,
+    so no XLA transpose of the (rows, C) input ever materializes."""
 
     def kernel(w_ref, b_ref, lo_ref, hi_ref, p_ref, s_ref, ss_ref):
         t = pl.program_id(0)
@@ -113,12 +116,22 @@ def _make_pair_layer1_kernel(dtype, precision):
             s_ref[...] = jnp.zeros_like(s_ref)
             ss_ref[...] = jnp.zeros_like(ss_ref)
 
-        xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
-                             axis=1).astype(dtype)
-        d = jax.lax.dot_general(
-            xp, w_ref[...].astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=precision)
+        if cf:
+            # (2C0, T) stacked halves; contract sublanes against the
+            # block-diagonal weight's rows — (T, 2C1) comes out directly.
+            xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
+                                  axis=0).astype(dtype)
+            d = jax.lax.dot_general(
+                xcf, w_ref[...].astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+        else:
+            xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
+                                 axis=1).astype(dtype)
+            d = jax.lax.dot_general(
+                xp, w_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
         p = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
         p_ref[...] = p
         pf = p.astype(f32)
@@ -128,11 +141,12 @@ def _make_pair_layer1_kernel(dtype, precision):
     return kernel
 
 
-def _make_sweep2_pair_kernel(pool, dtype, c0, c1):
+def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
     """Backward sweep 2 in paired layout — sa_bwd._make_sweep2_kernel
     with (a) the input halves arriving as two operands and (b) each
     half's x column broadcast over its own c1 lanes in the layer-1
-    coupling blocks."""
+    coupling blocks. ``cf`` takes channels-first (1, C0, T) halves and
+    transposes them in-VMEM via a tiny identity matmul (8x8)."""
 
     def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
                mul1_ref, shift1_ref, mul2_ref, shift2_ref,
@@ -162,8 +176,21 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1):
             preferred_element_type=f32).astype(dtype)
         m1f = (h1.astype(f32) > 0.0)
         mqd = jnp.where(m1f, q2, jnp.zeros_like(q2))
-        xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
-                             axis=1).astype(dtype)
+        if cf:
+            # (2C0, T) halves -> (T, 2C0) by contracting an 8x8
+            # identity: result[t, j] = sum_c xcf[c, t] * eye[c, j].
+            xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
+                                  axis=0).astype(dtype)
+            cc = 2 * c0
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 1)
+                   ).astype(dtype)
+            xp = jax.lax.dot_general(
+                xcf, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(dtype)
+        else:
+            xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
+                                 axis=1).astype(dtype)
         m1 = m1f.astype(dtype)
 
         # Paired left/right stacks (module docstring): per original
@@ -186,19 +213,21 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1):
     return kernel
 
 
-def _pick_tiles(Rh, pool, bf16):
+def _pick_tiles(Rh, pool, bf16, N=0):
     """Paired-row tile sizes (half the hybrid2 row counts: each paired
-    row is two original rows)."""
+    row is two original rows). ``N`` (channels-first mode): the
+    x-touching sweeps read (1, C0, tile) blocks of a (B, C0, N) array,
+    so their tiles must also divide N (which divides Rh)."""
     Tl = 4096 if bf16 else 2048          # fwd layer + gram sweeps
     Tp = 2048 if bf16 else 1024          # fwd pool sweep
     Tb = 2048                            # bwd sweeps
-    while Rh % Tl:
+    while Rh % Tl or (N and N % Tl):
         Tl //= 2
     while Tp > pool and (Rh % Tp or Tp % pool):
         Tp //= 2
     if Tp < pool or Rh % Tp or Tp % pool:
         Tp = pool
-    while Rh % Tb or Tb % pool:
+    while Tb and (Rh % Tb or Tb % pool or (N and N % Tb)):
         Tb //= 2
     if not Tb:
         Tb = pool
@@ -215,12 +244,41 @@ def _tile_spec(rows, c, offset_blocks=0):
                         memory_space=pltpu.VMEM)
 
 
+def _x_specs(x, C0, tile, Rh):
+    """The lo/hi half-blocks of the network input for an x-touching
+    sweep whose grid step t covers paired rows [t*tile, (t+1)*tile).
+
+    rows mode   — x (R, C0):       (tile, C0) row blocks.
+    cf mode     — x (B, C0, N):    (1, C0, tile) channel-major blocks
+                  (the fused select+gather kernel's native layout); the
+                  paired-row index t maps to batch row t*tile // N,
+                  column block (t*tile % N) // tile."""
+    if x.ndim == 2:
+        nb = Rh // tile
+        return [_tile_spec(tile, C0), _tile_spec(tile, C0,
+                                                 offset_blocks=nb)]
+    Bh = x.shape[0] // 2
+    q = x.shape[2] // tile
+    lo = pl.BlockSpec((1, C0, tile), lambda t: (t // q, 0, t % q),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((1, C0, tile), lambda t: (t // q + Bh, 0, t % q),
+                      memory_space=pltpu.VMEM)
+    return [lo, hi]
+
+
 def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
                     interpret: bool = False):
-    """4-sweep paired forward. xf: (R, C0) flattened rows (compute
-    dtype) with R/2 a multiple of ``pool``. Returns
+    """4-sweep paired forward. xf: (R, C0) flattened rows OR
+    (B, C0, N) channels-first (compute dtype), R/2 a multiple of
+    ``pool``. Returns
     (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2))."""
-    R, C0 = xf.shape
+    cf = xf.ndim == 3
+    if cf:
+        Bv, C0, N = xf.shape
+        R = Bv * N
+    else:
+        R, C0 = xf.shape
+        N = 0
     Rh = R // 2
     lp1, lp2, lp3 = layers
     C1, C2, C3 = (lp.kernel.shape[1] for lp in layers)
@@ -228,17 +286,16 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(dtype) == jnp.float32 else None)
     bf16 = jnp.dtype(dtype) != jnp.float32
-    Tl, Tp, _ = _pick_tiles(Rh, pool, bf16)
+    Tl, Tp, _ = _pick_tiles(Rh, pool, bf16, N)
 
     # Sweep 1: x (lo/hi halves) -> paired p1 + moments.
     nb = Rh // Tl
     p1p, s1, ss1 = pl.pallas_call(
-        _make_pair_layer1_kernel(dtype, precision),
+        _make_pair_layer1_kernel(dtype, precision, cf),
         grid=(nb,),
         in_specs=[
             _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
-            _tile_spec(Tl, C0), _tile_spec(Tl, C0, offset_blocks=nb),
-        ],
+        ] + _x_specs(xf, C0, Tl, Rh),
         out_specs=(_tile_spec(Tl, 2 * C1), _const_spec((1, 2 * C1)),
                    _const_spec((1, 2 * C1))),
         out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
@@ -316,11 +373,18 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
 
 def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
                      eps, dtype, interpret=False):
-    """2-sweep paired backward. xf (R, C0) rows (compute dtype),
-    p1p/p2p the paired residuals, dpooled (R//pool, C3). Returns the
-    SALayerParams cotangent tuple (same closed-form layer algebra as
-    sa_bwd.sa_backward_pallas, paired accumulator blocks folded)."""
-    R, C0 = xf.shape
+    """2-sweep paired backward. xf (R, C0) rows OR (B, C0, N)
+    channels-first (compute dtype), p1p/p2p the paired residuals,
+    dpooled (R//pool, C3). Returns the SALayerParams cotangent tuple
+    (same closed-form layer algebra as sa_bwd.sa_backward_pallas,
+    paired accumulator blocks folded)."""
+    cf = xf.ndim == 3
+    if cf:
+        Bv, C0, N = xf.shape
+        R = Bv * N
+    else:
+        R, C0 = xf.shape
+        N = 0
     Rh = R // 2
     C1, C2 = p1p.shape[1] // 2, p2p.shape[1] // 2
     P, C3 = dpooled.shape
@@ -335,7 +399,7 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
     gi3 = lp3.scale.astype(f32) * jax.lax.rsqrt(var3 + eps)
 
     bf16 = jnp.dtype(dtype) != jnp.float32
-    _, _, Tb = _pick_tiles(Rh, pool, bf16)
+    _, _, Tb = _pick_tiles(Rh, pool, bf16, N)
     grid = (Rh // Tb,)
     tg = Tb // pool
 
@@ -374,9 +438,8 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
     # x | h1], right = [h1 | x | ones], all lanes paired.
     Lw = 2 * C2 + (3 + C0) * 2 * C1 + 2 * C0
     Rw = 2 * C1 + 2 * C0 + 1
-    nb = Rh // Tb
     out2, = pl.pallas_call(
-        _make_sweep2_pair_kernel(pool, dtype, C0, C1),
+        _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf),
         grid=grid,
         in_specs=[
             _const_spec((2 * C2, 2 * C2)),
@@ -384,7 +447,7 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
             _const_spec((2 * C2, 2 * C1)),
             _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
             _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-            _tile_spec(Tb, C0), _tile_spec(Tb, C0, offset_blocks=nb),
+        ] + _x_specs(xf, C0, Tb, Rh) + [
             _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
             _tile_spec(Tb, 2 * C2),
         ],
@@ -500,3 +563,50 @@ def _pr_bwd(eps, dtype, interpret, res, cts):
 
 
 sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
+
+
+def _pair_cf_impl(x_cf, layers, eps, dtype, interpret):
+    Bv, C0, S, K = x_cf.shape
+    x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
+    pooled, stats, p1p, p2p = sa_forward_pair(
+        x3, layers, K, eps, dtype, interpret)
+    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sa_train_pair_cf(x_cf: Array, layers: Tuple[SALayerParams, ...],
+                     eps: float = 1e-5, dtype=jnp.float32,
+                     interpret: bool = False):
+    """Channels-first paired entry: x_cf (B, C0, S, K) — the fused
+    select+gather kernel's native layout, consumed without any XLA
+    transpose (the x-touching sweeps read (1, C0, tile) blocks and
+    contract/transpose in-VMEM). Max-pools over K. Requires 3 layers
+    and an even B (pairing is b <-> b + B/2). Input cotangent is ZERO
+    by contract."""
+    assert len(layers) == 3, "pair impl is specialized to L=3"
+    assert x_cf.shape[0] % 2 == 0, \
+        "pair-cf impl needs an even batch row count"
+    pooled, stats, _, _, _ = _pair_cf_impl(x_cf, tuple(layers), eps,
+                                           dtype, interpret)
+    return pooled, stats
+
+
+def _prcf_fwd(x_cf, layers, eps, dtype, interpret):
+    layers = tuple(layers)
+    pooled, stats, _, p1p, p2p = _pair_cf_impl(x_cf, layers, eps, dtype,
+                                               interpret)
+    return (pooled, stats), (x_cf, p1p, p2p, layers, stats)
+
+
+def _prcf_bwd(eps, dtype, interpret, res, cts):
+    dpooled, _ = cts          # stats cotangent ignored (state update)
+    x_cf, p1p, p2p, layers, stats = res
+    Bv, C0, S, K = x_cf.shape
+    C3 = dpooled.shape[-1]
+    dlayers = sa_backward_pair(
+        x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, layers,
+        stats, dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
+    return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
+
+
+sa_train_pair_cf.defvjp(_prcf_fwd, _prcf_bwd)

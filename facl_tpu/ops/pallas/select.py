@@ -261,9 +261,11 @@ def select_knn_ball(points: Array, num_centroids: int, knn_k: int,
     )(radius, xyz_t)
 
 
-@partial(jax.jit, static_argnames=("num_centroids", "knn_k", "interpret"))
+@partial(jax.jit, static_argnames=("num_centroids", "knn_k", "interpret",
+                                   "channels_first"))
 def _select_gather(points: Array, num_centroids: int, knn_k: int,
-                   radius_sq, interpret: bool = False):
+                   radius_sq, interpret: bool = False,
+                   channels_first: bool = False):
     """Fused selection + gather: one kernel pass emits both the index set
     and the gathered neighborhoods (features ride the log-shift
     compaction as extra payload lanes — the separate one-hot gather
@@ -298,31 +300,39 @@ def _select_gather(points: Array, num_centroids: int, knn_k: int,
         ),
         interpret=interpret,
     )(radius, pts_t)
+    if channels_first:
+        return grouped_t, idx
     return jnp.transpose(grouped_t, (0, 2, 3, 1)), idx
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5))
 def select_gather_knn_ball(points: Array, num_centroids: int, knn_k: int,
-                           radius_sq, interpret: bool = False) -> Array:
+                           radius_sq, interpret: bool = False,
+                           channels_first: bool = False) -> Array:
     """Differentiable fused select+gather (backward = the in-VMEM
     scatter-add kernel over the selected indices, exactly the gather
     VJP — the index selection itself is piecewise constant in the
-    points, like lax.top_k). Returns gathered (B, S, K, C) f32
-    neighborhoods, NOT re-centered."""
+    points, like lax.top_k). Returns gathered f32 neighborhoods, NOT
+    re-centered: (B, S, K, C), or with ``channels_first`` the kernel's
+    native (B, C, S, K) layout — no transpose at all, for consumers
+    like sa_train_pair_cf that read channel-major blocks directly."""
     grouped, _ = _select_gather(points, num_centroids, knn_k, radius_sq,
-                                interpret)
+                                interpret, channels_first)
     return grouped
 
 
-def _sg_fwd(points, num_centroids, knn_k, radius_sq, interpret):
+def _sg_fwd(points, num_centroids, knn_k, radius_sq, interpret,
+            channels_first):
     grouped, idx = _select_gather(points, num_centroids, knn_k, radius_sq,
-                                  interpret)
+                                  interpret, channels_first)
     return grouped, (idx, points.shape[1])
 
 
-def _sg_bwd(num_centroids, knn_k, interpret, res, g):
+def _sg_bwd(num_centroids, knn_k, interpret, channels_first, res, g):
     from facl_tpu.ops.pallas.gather import scatter_add_rows
     idx, n = res
+    if channels_first:
+        g = jnp.transpose(g, (0, 2, 3, 1))
     B, S, K, C = g.shape
     dpoints = scatter_add_rows(idx.reshape(B, S * K),
                                g.reshape(B, S * K, C), n, interpret)

@@ -32,7 +32,7 @@ from facl_tpu.train.state import TrainState
 Array = jax.Array
 
 
-def make_grouping_fn(g_cfg, mesh=None) -> Callable:
+def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc") -> Callable:
     """Grouping over a (G, B, N, C) batch.
 
     Single device: plain group_points (Pallas gather on TPU). With a
@@ -41,16 +41,18 @@ def make_grouping_fn(g_cfg, mesh=None) -> Callable:
     slice and the Pallas gather stays usable on pods. Without a mesh but
     with multiple devices visible, ``gather_impl="auto"`` resolves to the
     XLA gather (GSPMD can partition it; the Pallas kernel can't) — but an
-    explicit ``gather_impl`` from the config is always honored."""
+    explicit ``gather_impl`` from the config is always honored.
+    ``layout="bcsk"`` yields channel-major neighborhoods (see
+    ops.grouping.group_points)."""
     def group4d(points4d, gather_impl=g_cfg.gather_impl,
                 select_impl=g_cfg.select_impl):
         G, B, N, C = points4d.shape
         flat = points4d.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl, select_impl)
-        S, K = g_cfg.num_centroids, g_cfg.knn_k
-        return (neigh.reshape(G, B, S, K, C), cent.reshape(G, B, S, 3))
+            g_cfg.method, gather_impl, select_impl, layout)
+        return (neigh.reshape(G, B, *neigh.shape[1:]),
+                cent.reshape(G, B, -1, 3))
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
@@ -87,7 +89,8 @@ def make_train_step(model, optimizer, cfg: Config,
     """
     g_cfg = grouping or cfg.grouping
     l_cfg = cfg.loss
-    grouping_fn = make_grouping_fn(g_cfg, mesh)
+    layout = "bcsk" if cfg.model.channels_first else "bskc"
+    grouping_fn = make_grouping_fn(g_cfg, mesh, layout)
 
     def loss_fn(params, batch_stats, points, key, epoch, swav_queue):
         G, B, N, C = points.shape
@@ -169,12 +172,14 @@ def make_eval_step(model, cfg: Config, grouping=None) -> Callable:
     gather_impl = resolve_gather_impl(g_cfg)
     select_impl = resolve_select_impl(g_cfg)
 
+    layout = "bcsk" if cfg.model.channels_first else "bskc"
+
     def eval_step(variables, points):
         G, B, N, C = points.shape
         flat = points.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl, select_impl)
+            g_cfg.method, gather_impl, select_impl, layout)
         x, code, x_nor, x_global = model.apply(
             variables, neigh, cent, train=False)
         return x, x_global
@@ -205,7 +210,8 @@ class Trainer:
         flat = sample_points.reshape(G * B, N, C)
         neigh, cent = group_points(
             flat, self.g_cfg.num_centroids, self.g_cfg.knn_k,
-            self.g_cfg.radius_sq, self.g_cfg.method)
+            self.g_cfg.radius_sq, self.g_cfg.method,
+            layout="bcsk" if self.cfg.model.channels_first else "bskc")
         variables = self.model.init(rng, neigh, cent, train=False)
         queue = None
         if self.cfg.loss.use_swav:

@@ -88,6 +88,82 @@ def test_pair_bf16_statistical_parity(rng):
             assert relf < 0.15 and cos > 0.99, (name, relf, cos)
 
 
+def test_pair_cf_matches_reference(rng):
+    """Channels-first entry: same values and grads as the reference,
+    fed the (B, C, S, K) layout the fused select+gather kernel emits."""
+    from facl_tpu.ops.pallas.sa_pair import sa_train_pair_cf
+
+    B, S, K, C = 4, 6, 8, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    layers = make_layers(rng, widths, C)
+    eps = 1e-5
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+
+    pooled_p, stats_p = sa_train_pair_cf(x_cf, layers, eps, jnp.float32,
+                                         True)
+    pooled_r, stats_r = reference_forward(x, layers, eps, jnp.float32)
+    np.testing.assert_allclose(np.asarray(pooled_p), np.asarray(pooled_r),
+                               rtol=1e-4, atol=1e-5)
+    for (mp, vp), (mr, vr) in zip(stats_p, stats_r):
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mr),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vr),
+                                   rtol=5e-4, atol=1e-5)
+
+    def loss(fn, xx, extra=()):
+        def f(layers):
+            pooled, _ = fn(xx, layers, eps, jnp.float32, *extra)
+            return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+        return f
+
+    gl_p = jax.grad(loss(sa_train_pair_cf, x_cf, (True,)))(layers)
+    gl_r = jax.grad(loss(reference_forward, x))(layers)
+    for lp, lr in zip(gl_p, gl_r):
+        for name in ("kernel", "scale", "shift"):
+            p = np.asarray(getattr(lp, name), np.float32)
+            r = np.asarray(getattr(lr, name), np.float32)
+            sc = max(1.0, float(np.abs(r).max()))
+            np.testing.assert_allclose(p, r, rtol=2e-3, atol=2e-3 * sc,
+                                       err_msg=name)
+
+
+def test_stage_channels_first_all_paths(rng):
+    """The stage accepts (B, C, S, K): the pair train path consumes it
+    natively; reference train and eval mode transpose back. All agree
+    with the channels-last reference stage."""
+    from facl_tpu.models.sa_stage import SetAbstractionStage
+
+    x = jnp.asarray(rng.normal(size=(4, 6, 8, 4)).astype(np.float32))
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+
+    def run(impl, cf, train):
+        stage = SetAbstractionStage((8, 8, 16), impl=impl,
+                                    channels_first=cf)
+        xx = x_cf if cf else x
+        variables = stage.init(jax.random.PRNGKey(0), xx, train=False)
+
+        def loss(v):
+            out, mut = stage.apply(v, xx, train=train,
+                                   mutable=["batch_stats"])
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (l, bs), g = jax.value_and_grad(loss, has_aux=True)(variables)
+        return l, bs, g["params"]
+
+    for train in (True, False):
+        l_r, bs_r, _ = run("reference", False, train)
+        for impl in ("pair", "reference"):
+            l_p, bs_p, _ = run(impl, True, train)
+            np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_r),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{impl} train={train}")
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+                bs_p, bs_r)
+
+
 def test_stage_pair_runs_and_matches(rng):
     from facl_tpu.models.sa_stage import SetAbstractionStage
 
@@ -126,6 +202,42 @@ def test_stage_pair_rejects_input_grad(rng):
     stage = SetAbstractionStage((4, 4, 8), impl="pair", input_grad=True)
     with pytest.raises(ValueError, match="input cotangent"):
         stage.init(jax.random.PRNGKey(0), x, train=True)
+
+
+def test_train_step_channels_first_pair_parity(rng):
+    """The flagship combination (sa_impl=pair + channel-major
+    neighborhoods) runs the full fused train step and matches the
+    channels-last reference step's loss."""
+    import dataclasses
+
+    from facl_tpu.config import (Config, GroupingConfig, LossConfig,
+                                 ModelConfig, OptimConfig, TrainConfig)
+    from facl_tpu.train import Trainer
+
+    base = Config(
+        grouping=GroupingConfig(num_centroids=8, knn_k=8, radius_sq=10.0),
+        model=ModelConfig(sa_widths=(8, 8, 16), stage2_widths=(16, 32),
+                          fc_hidden=32, embed_dim=16, num_prototypes=8,
+                          num_crops=4),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=2,
+                          optim=OptimConfig(learning_rate=1e-3)),
+    )
+    cfg_cf = base.replace(model=dataclasses.replace(
+        base.model, sa_impl="pair", channels_first=True))
+
+    batch = jnp.asarray(rng.normal(size=(4, 2, 32, 4)).astype(np.float32))
+    key, epoch = jax.random.PRNGKey(1), jnp.asarray(0)
+
+    losses = {}
+    for name, cfg in (("ref", base), ("pair_cf", cfg_cf)):
+        tr = Trainer(cfg, steps_per_epoch=4)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        state, m = tr.step_fn(state, batch, key, epoch)
+        losses[name] = float(m["loss"])
+        assert int(state.step) == 1
+    np.testing.assert_allclose(losses["pair_cf"], losses["ref"],
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pair_rejects_odd_pooled_rows(rng):
