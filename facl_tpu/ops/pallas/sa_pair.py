@@ -61,7 +61,6 @@ from facl_tpu.ops.pallas.sa_bwd import (
     _fold_affine,
     _h_from_p,
     _layer_terms,
-    _make_sweep1_kernel,
 )
 from facl_tpu.ops.pallas.sa_fwd import (
     _finalize,
@@ -141,22 +140,71 @@ def _make_pair_layer1_kernel(dtype, precision, cf: bool):
     return kernel
 
 
+def _make_sweep1_pair_kernel(pool, dtype):
+    """Backward sweep 1, paired and padding-free: the only accumulated
+    matmul is A3 = dy3^T h2 with the right operand exactly 2*C2 lanes —
+    the unpaired kernel's packed [dy3 | h2] x [h2 | ones] form pays for
+    its paired ones column with a 129 -> 256 lane pad (1.7x the MACs).
+    u3 = sum(dy3) rides a VPU lane accumulator instead, and Gram(h2) /
+    colsum(h2) are NOT recomputed at all — the forward's sweep-3
+    accumulators are reused as residuals (same h2 recompute formula from
+    the same stored p2; only the f32 tile-sum order differs)."""
+
+    def kernel(w3_ref, b3_ref, mul3_ref, shift3_ref, mul2_ref, shift2_ref,
+               gi3_ref, w3t_ref,
+               p2_ref, dpooled_ref,
+               a_ref, u_ref, q3_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            a_ref[...] = jnp.zeros_like(a_ref)
+            u_ref[...] = jnp.zeros_like(u_ref)
+
+        h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
+        dy3 = _dy_top(h2, w3_ref[...], b3_ref[0],
+                      mul3_ref[0], shift3_ref[0],
+                      dpooled_ref[...], pool, dtype)
+        dy3d = dy3.astype(dtype)
+        _acc0(a_ref, dy3d, h2)
+        u_ref[0, :] += jnp.sum(dy3, axis=0)
+        # Cache q3 = (gi3*dy3) @ W3^T for sweep 2 (sa_bwd sweep-1 note:
+        # streaming (R, C2) bf16 beats recomputing the wide top layer).
+        q3_ref[...] = jax.lax.dot_general(
+            dy3d * gi3_ref[0].astype(dtype)[None, :],
+            w3t_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dtype)
+
+    return kernel
+
+
 def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
     """Backward sweep 2 in paired layout — sa_bwd._make_sweep2_kernel
     with (a) the input halves arriving as two operands and (b) each
     half's x column broadcast over its own c1 lanes in the layer-1
     coupling blocks. ``cf`` takes channels-first (1, C0, T) halves and
-    transposes them in-VMEM via a tiny identity matmul (8x8)."""
+    transposes them in-VMEM via a tiny identity matmul (8x8).
+
+    The accumulations split into TWO packed matmuls instead of sa_bwd's
+    one: paired, the single [.. | x | ones] right operand is 2*C0+2*C1+1
+    = 137 lanes -> a 256-lane pad that nearly doubles the sweep's MACs.
+    Split by right operand, each side is padding-tight:
+      main: [dy2 | m1 | m1*x_i ... | h1] x [h1]        (2C2+2C1(C0+2), 2C1)
+      aux:  [dy2 | m1 | m1*q2 | x | h1] x [x | ones]   (.., 2C0+1 -> 128)
+    yielding A2/TM1/U1/G1 (main) and u2/T1x/cnt1/P1/acc1/Gx/cx/ch1
+    (aux); cross-block products are discarded at unpack."""
 
     def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
                mul1_ref, shift1_ref, mul2_ref, shift2_ref,
                lo_ref, hi_ref, p1_ref, p2_ref, q3_ref,
-               out_ref):
+               outm_ref, outa_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+            outm_ref[...] = jnp.zeros_like(outm_ref)
+            outa_ref[...] = jnp.zeros_like(outa_ref)
 
         h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
         h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
@@ -205,10 +253,10 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
             for i in range(c0)
         ]
         ones = jnp.ones((T, 1), dtype)
-        left = jnp.concatenate([dy2d, m1, mqd] + xi_blocks + [xp, h1],
-                               axis=1)
-        right = jnp.concatenate([h1, xp, ones], axis=1)
-        _acc0(out_ref, left, right)
+        leftm = jnp.concatenate([dy2d, m1] + xi_blocks + [h1], axis=1)
+        _acc0(outm_ref, leftm, h1)
+        lefta = jnp.concatenate([dy2d, m1, mqd, xp, h1], axis=1)
+        _acc0(outa_ref, lefta, jnp.concatenate([xp, ones], axis=1))
 
     return kernel
 
@@ -271,7 +319,10 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     """4-sweep paired forward. xf: (R, C0) flattened rows OR
     (B, C0, N) channels-first (compute dtype), R/2 a multiple of
     ``pool``. Returns
-    (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2))."""
+    (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2),
+    gram2 = (Gram(h2) (C2, C2), colsum(h2) (C2,)) — folded sweep-3
+    accumulators, saved as residuals so backward sweep 1 never
+    recomputes them)."""
     cf = xf.ndim == 3
     if cf:
         Bv, C0, N = xf.shape
@@ -368,13 +419,14 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
 
     stats = [(mean1, var1), (mean2, var2), (mean3, var3)]
-    return pooled, stats, p1p, p2p
+    return pooled, stats, p1p, p2p, (G2, ch2)
 
 
-def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
+def sa_backward_pair(xf, p1p, p2p, gram2, layers, stats, dpooled,
                      eps, dtype, interpret=False):
     """2-sweep paired backward. xf (R, C0) rows OR (B, C0, N)
     channels-first (compute dtype), p1p/p2p the paired residuals,
+    gram2 = (Gram(h2), colsum(h2)) from the forward's sweep 3,
     dpooled (R//pool, C3). Returns the SALayerParams cotangent tuple
     (same closed-form layer algebra as sa_bwd.sa_backward_pallas,
     paired accumulator blocks folded)."""
@@ -406,10 +458,10 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
     # Re-pair the pooled cotangent: paired pooled row g = [g | g + P/2].
     dpp = jnp.concatenate([dpooled[:P // 2], dpooled[P // 2:]], axis=1)
 
-    # Sweep 1 (hybrid2 kernel, paired shapes): packed left = [dy3 | h2],
-    # right = [h2 | ones].
-    out1, q3p = pl.pallas_call(
-        _make_sweep1_kernel(pool, dtype),
+    # Sweep 1 (paired kernel): A3 = dy3^T h2 (padding-free matmul),
+    # u3 a VPU lane sum; G2/ch2 arrive from the forward's sweep 3.
+    a3p, u3p, q3p = pl.pallas_call(
+        _make_sweep1_pair_kernel(pool, dtype),
         grid=grid,
         in_specs=[
             _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
@@ -418,27 +470,29 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
             _const_spec((1, 2 * C3)), _const_spec((2 * C3, 2 * C2)),
             _tile_spec(Tb, 2 * C2), _tile_spec(tg, 2 * C3),
         ],
-        out_specs=(_const_spec((2 * (C3 + C2), 2 * C2 + 1)),
+        out_specs=(_const_spec((2 * C3, 2 * C2)),
+                   _const_spec((1, 2 * C3)),
                    _tile_spec(Tb, 2 * C2)),
-        out_shape=(jax.ShapeDtypeStruct((2 * (C3 + C2), 2 * C2 + 1), f32),
+        out_shape=(jax.ShapeDtypeStruct((2 * C3, 2 * C2), f32),
+                   jax.ShapeDtypeStruct((1, 2 * C3), f32),
                    jax.ShapeDtypeStruct((Rh, 2 * C2), p2p.dtype)),
         interpret=interpret,
     )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul3),
       _pair2(shift3), _pair2(mul2), _pair2(shift2), _pair2(gi3),
       _blkdiag(jnp.swapaxes(lp3.kernel, 0, 1)), p2p, dpp)
-    one = 2 * C2
-    A3 = _fold2(out1[:2 * C3, :2 * C2], C3, C2)
-    u3 = out1[:C3, one] + out1[C3:2 * C3, one]
-    G2 = _fold2(out1[2 * C3:, :2 * C2], C2, C2)
-    ch2 = out1[2 * C3:2 * C3 + C2, one] + out1[2 * C3 + C2:, one]
+    A3 = _fold2(a3p, C3, C2)
+    u3 = _foldlanes(u3p, C3)[0]
+    G2, ch2 = gram2
 
     t3 = _layer_terms(A3, u3, lp3, mean3, var3, G2, ch2, n, eps)
 
-    # Sweep 2 (paired kernel): left = [dy2 | m1 | m1*q2 | m1*x_i... |
-    # x | h1], right = [h1 | x | ones], all lanes paired.
-    Lw = 2 * C2 + (3 + C0) * 2 * C1 + 2 * C0
-    Rw = 2 * C1 + 2 * C0 + 1
-    out2, = pl.pallas_call(
+    # Sweep 2 (paired kernel), two padding-tight accumulations (kernel
+    # docstring): main = [dy2 | m1 | m1*x_i... | h1] x [h1],
+    # aux = [dy2 | m1 | m1*q2 | x | h1] x [x | ones].
+    Lm = 2 * C2 + (2 + C0) * 2 * C1
+    La = 2 * C2 + 3 * 2 * C1 + 2 * C0           # dy2, m1, mqd, x, h1
+    Ra = 2 * C0 + 1
+    outm, outa = pl.pallas_call(
         _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf),
         grid=grid,
         in_specs=[
@@ -451,8 +505,9 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
             _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
             _tile_spec(Tb, 2 * C2),
         ],
-        out_specs=(_const_spec((Lw, Rw)),),
-        out_shape=(jax.ShapeDtypeStruct((Lw, Rw), f32),),
+        out_specs=(_const_spec((Lm, 2 * C1)), _const_spec((La, Ra))),
+        out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
+                   jax.ShapeDtypeStruct((La, Ra), f32)),
         interpret=interpret,
     )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
       _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
@@ -460,39 +515,45 @@ def sa_backward_pair(xf, p1p, p2p, layers, stats, dpooled,
       xf, xf, p1p, p2p, q3p)
 
     hL, hR = slice(0, C1), slice(C1, 2 * C1)
-    xL = slice(2 * C1, 2 * C1 + C0)
-    xR = slice(2 * C1 + C0, 2 * C1 + 2 * C0)
-    one = 2 * C1 + 2 * C0
+    xL, xR, one = slice(0, C0), slice(C0, 2 * C0), 2 * C0
 
-    def blk(r0, a):
-        lo, hi = out2[r0:r0 + a], out2[r0 + a:r0 + 2 * a]
-        return lo, hi
+    def blk(out, r0, a):
+        return out[r0:r0 + a], out[r0 + a:r0 + 2 * a]
 
-    r = 0
-    lo, hi = blk(r, C2)
+    # main: row blocks [dy2 | m1 | m1*x_i... | h1], columns h1.
+    rm = 0
+    lo, hi = blk(outm, rm, C2)
     A2 = lo[:, hL] + hi[:, hR]
-    u2 = lo[:, one] + hi[:, one]
-    r += 2 * C2
-    lo, hi = blk(r, C1)
+    rm += 2 * C2
+    lo, hi = blk(outm, rm, C1)
     TM1 = lo[:, hL] + hi[:, hR]
+    rm += 2 * C1
+    U1 = jnp.stack(
+        [blk(outm, rm + i * 2 * C1, C1)[0][:, hL]
+         + blk(outm, rm + i * 2 * C1, C1)[1][:, hR]
+         for i in range(C0)], axis=-1)               # (C1, C1, C0)
+    rm += C0 * 2 * C1
+    lo, hi = blk(outm, rm, C1)
+    G1 = lo[:, hL] + hi[:, hR]
+
+    # aux: row blocks [dy2 | m1 | m1*q2 | x | h1], columns [x | ones].
+    ra = 0
+    lo, hi = blk(outa, ra, C2)
+    u2 = lo[:, one] + hi[:, one]
+    ra += 2 * C2
+    lo, hi = blk(outa, ra, C1)
     T1x = lo[:, xL] + hi[:, xR]
     cnt1 = lo[:, one] + hi[:, one]
-    r += 2 * C1
-    lo, hi = blk(r, C1)
+    ra += 2 * C1
+    lo, hi = blk(outa, ra, C1)
     P1 = lo[:, xL] + hi[:, xR]
     acc1 = lo[:, one] + hi[:, one]
-    r += 2 * C1
-    U1 = jnp.stack(
-        [blk(r + i * 2 * C1, C1)[0][:, hL]
-         + blk(r + i * 2 * C1, C1)[1][:, hR]
-         for i in range(C0)], axis=-1)               # (C1, C1, C0)
-    r += C0 * 2 * C1
-    lo, hi = blk(r, C0)
+    ra += 2 * C1
+    lo, hi = blk(outa, ra, C0)
     Gx = lo[:, xL] + hi[:, xR]
     cx = lo[:, one] + hi[:, one]
-    r += 2 * C0
-    lo, hi = blk(r, C1)
-    G1 = lo[:, hL] + hi[:, hR]
+    ra += 2 * C0
+    lo, hi = blk(outa, ra, C1)
     ch1 = lo[:, one] + hi[:, one]
 
     t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
@@ -518,9 +579,9 @@ def _pair_impl(x, layers, eps, dtype, interpret):
     for d in x.shape[:-1]:
         rows *= d
     xf = x.astype(dtype).reshape(rows, C0)
-    pooled, stats, p1p, p2p = sa_forward_pair(
+    pooled, stats, p1p, p2p, gram2 = sa_forward_pair(
         xf, layers, K, eps, dtype, interpret)
-    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p
+    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -536,29 +597,29 @@ def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
         rows *= d
     assert (rows // x.shape[-2]) % 2 == 0, \
         "pair impl needs an even pooled-row count"
-    pooled, stats, _, _, _ = _pair_impl(x, tuple(layers), eps, dtype,
-                                        interpret)
+    pooled, stats, _, _, _, _ = _pair_impl(x, tuple(layers), eps, dtype,
+                                           interpret)
     return pooled, stats
 
 
 def _pr_fwd(x, layers, eps, dtype, interpret):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p = _pair_impl(x, layers, eps, dtype,
-                                            interpret)
-    return (pooled, stats), (x, p1p, p2p, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2 = _pair_impl(x, layers, eps, dtype,
+                                                   interpret)
+    return (pooled, stats), (x, p1p, p2p, gram2, layers, stats)
 
 
 def _pr_bwd(eps, dtype, interpret, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x, p1p, p2p, layers, stats = res
+    x, p1p, p2p, gram2, layers, stats = res
     C0 = x.shape[-1]
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x.astype(dtype).reshape(rows, C0), p1p, p2p, layers, stats,
-        dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
+        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, layers,
+        stats, dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
     return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
 
 
@@ -568,9 +629,9 @@ sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
 def _pair_cf_impl(x_cf, layers, eps, dtype, interpret):
     Bv, C0, S, K = x_cf.shape
     x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
-    pooled, stats, p1p, p2p = sa_forward_pair(
+    pooled, stats, p1p, p2p, gram2 = sa_forward_pair(
         x3, layers, K, eps, dtype, interpret)
-    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p
+    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -586,26 +647,27 @@ def sa_train_pair_cf(x_cf: Array, layers: Tuple[SALayerParams, ...],
     assert len(layers) == 3, "pair impl is specialized to L=3"
     assert x_cf.shape[0] % 2 == 0, \
         "pair-cf impl needs an even batch row count"
-    pooled, stats, _, _, _ = _pair_cf_impl(x_cf, tuple(layers), eps,
-                                           dtype, interpret)
+    pooled, stats, _, _, _, _ = _pair_cf_impl(x_cf, tuple(layers), eps,
+                                              dtype, interpret)
     return pooled, stats
 
 
 def _prcf_fwd(x_cf, layers, eps, dtype, interpret):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p = _pair_cf_impl(x_cf, layers, eps, dtype,
-                                               interpret)
-    return (pooled, stats), (x_cf, p1p, p2p, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2 = _pair_cf_impl(x_cf, layers, eps,
+                                                      dtype, interpret)
+    return (pooled, stats), (x_cf, p1p, p2p, gram2, layers, stats)
 
 
 def _prcf_bwd(eps, dtype, interpret, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x_cf, p1p, p2p, layers, stats = res
+    x_cf, p1p, p2p, gram2, layers, stats = res
     Bv, C0, S, K = x_cf.shape
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, layers,
-        stats, dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
+        x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, gram2,
+        layers, stats, dpooled.reshape(-1, C3), eps, dtype,
+        interpret=interpret)
     return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
 
 
