@@ -35,11 +35,13 @@ Layout invariants:
 * The p1/p2 residuals are written and re-read in paired layout; only
   x, pooled, and dpooled cross the pairing boundary.
 
-Forward sweeps 2-4 and backward sweep 1 reuse the hybrid2 kernel makers
-verbatim (their code is shape-generic); only the x-touching sweeps need
-paired variants (the input halves arrive as two operands, and the
-layer-1 coupling blocks (m1*x_i)^T h1 need each half's x column
-broadcast over its own 64 lanes).
+Forward sweeps 2-3 reuse the hybrid2 kernel makers verbatim (their code
+is shape-generic). The x-touching sweeps need paired variants (the
+input halves arrive as two operands, and the layer-1 coupling blocks
+(m1*x_i)^T h1 need each half's x column broadcast over its own 64
+lanes); forward sweep 4 additionally emits the pool-argmax residual,
+and the backward sweeps are padding-tight rewrites (see each kernel's
+docstring).
 
 Input cotangent contract: ZERO, like hybrid/hybrid2 — grouped
 neighborhoods are data in the training step.
@@ -57,7 +59,6 @@ from jax.experimental.pallas import tpu as pltpu
 from facl_tpu.ops.fused_sa import SALayerParams
 from facl_tpu.ops.pallas.sa_bwd import (
     _acc0,
-    _dy_top,
     _fold_affine,
     _h_from_p,
     _layer_terms,
@@ -66,7 +67,6 @@ from facl_tpu.ops.pallas.sa_fwd import (
     _finalize,
     _make_gram_sweep,
     _make_layer_sweep,
-    _make_pool_sweep,
 )
 
 Array = jax.Array
@@ -140,19 +140,62 @@ def _make_pair_layer1_kernel(dtype, precision, cf: bool):
     return kernel
 
 
-def _make_sweep1_pair_kernel(pool, dtype):
-    """Backward sweep 1, paired and padding-free: the only accumulated
-    matmul is A3 = dy3^T h2 with the right operand exactly 2*C2 lanes —
-    the unpaired kernel's packed [dy3 | h2] x [h2 | ones] form pays for
-    its paired ones column with a 129 -> 256 lane pad (1.7x the MACs).
-    u3 = sum(dy3) rides a VPU lane accumulator instead, and Gram(h2) /
-    colsum(h2) are NOT recomputed at all — the forward's sweep-3
-    accumulators are reused as residuals (same h2 recompute formula from
-    the same stored p2; only the f32 tile-sum order differs)."""
+def _make_pool_idx_sweep(dtype, pool: int, precision):
+    """Forward sweep 4 + argmax residual: sa_fwd._make_pool_sweep with a
+    second output recording, per (pool group, channel), the in-group row
+    index of the max — selected on the f32 pre-cast activations z (the
+    same basis backward tie selection already used) with sentinel
+    ``pool`` when the group max is <= 0 (ReLU-dead: no gradient flows).
+    Backward sweep 1 then rebuilds dy3 with one compare instead of
+    recomputing the whole wide top layer (h2@W3 + affine + max + ties).
 
-    def kernel(w3_ref, b3_ref, mul3_ref, shift3_ref, mul2_ref, shift2_ref,
-               gi3_ref, w3t_ref,
-               p2_ref, dpooled_ref,
+    Routing is winner-take-all (first max row) — the reference's own
+    semantics (torch max_pool backward routes to the argmax,
+    cn3d_model_conbag.py:80). For ties caused by duplicated input rows
+    (ball-query centroid padding makes these common) every accumulated
+    weight-gradient bilinear form is exactly invariant to how dpooled is
+    distributed among the tied rows, since their h/x/mask values are
+    identical."""
+
+    def kernel(w_ref, b_ref, mul2_ref, shift2_ref, mul3_ref, shift3_ref,
+               p_ref, out_ref, idx_ref):
+        h2 = _h_from_p(p_ref[...], mul2_ref[0], shift2_ref[0], dtype)
+        d = jax.lax.dot_general(
+            h2, w_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        p3 = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
+        z = (p3.astype(f32) * mul3_ref[0][None, :]
+             + shift3_ref[0][None, :])
+        y = z.astype(dtype)
+        h3 = jnp.maximum(y, jnp.zeros_like(y))
+        T, C = h3.shape
+        g = T // pool
+        out_ref[...] = jnp.max(h3.reshape(g, pool, C), axis=1)
+        zg = z.reshape(g, pool, C)
+        mx = jnp.max(zg, axis=1, keepdims=True)
+        io = jax.lax.broadcasted_iota(jnp.int32, (g, pool, C), 1)
+        iof = io.astype(f32)
+        idx = jnp.min(jnp.where(zg == mx, iof, float(pool)), axis=1)
+        idx_ref[...] = jnp.where(mx[:, 0, :] > 0.0, idx,
+                                 float(pool)).astype(dtype)
+
+    return kernel
+
+
+def _make_sweep1_pair_kernel(pool, dtype):
+    """Backward sweep 1, paired and padding-free: dy3 is rebuilt from
+    the forward's argmax residual (one compare per element — the wide
+    top layer is never recomputed), the only accumulated matmul is
+    A3 = dy3^T h2 with the right operand exactly 2*C2 lanes — the
+    unpaired kernel's packed [dy3 | h2] x [h2 | ones] form pays for its
+    paired ones column with a 129 -> 256 lane pad (1.7x the MACs) —
+    u3 = sum(dy3) rides a VPU lane accumulator, and Gram(h2) /
+    colsum(h2) are NOT recomputed at all: the forward's sweep-3
+    accumulators are reused as residuals."""
+
+    def kernel(mul2_ref, shift2_ref, gi3_ref, w3t_ref,
+               p2_ref, dpooled_ref, idx_ref,
                a_ref, u_ref, q3_ref):
         t = pl.program_id(0)
 
@@ -162,9 +205,15 @@ def _make_sweep1_pair_kernel(pool, dtype):
             u_ref[...] = jnp.zeros_like(u_ref)
 
         h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
-        dy3 = _dy_top(h2, w3_ref[...], b3_ref[0],
-                      mul3_ref[0], shift3_ref[0],
-                      dpooled_ref[...], pool, dtype)
+        T = h2.shape[0]
+        g = T // pool
+        C = dpooled_ref.shape[1]
+        iof = jax.lax.broadcasted_iota(jnp.int32, (g, pool, C),
+                                       1).astype(f32)
+        sel = iof == idx_ref[...].astype(f32).reshape(g, 1, C)
+        dy3 = jnp.where(
+            sel, dpooled_ref[...].astype(f32).reshape(g, 1, C),
+            0.0).reshape(T, C)
         dy3d = dy3.astype(dtype)
         _acc0(a_ref, dy3d, h2)
         u_ref[0, :] += jnp.sum(dy3, axis=0)
@@ -401,9 +450,10 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     var3 = e2 - mean3 * mean3
     mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
 
-    # Sweep 4: paired p2 -> paired pooled (rows [g | g + P/2]).
-    pooled_p = pl.pallas_call(
-        _make_pool_sweep(dtype, pool, precision),
+    # Sweep 4: paired p2 -> paired pooled (rows [g | g + P/2]) + the
+    # pool-argmax residual for backward sweep 1.
+    pooled_p, idxp = pl.pallas_call(
+        _make_pool_idx_sweep(dtype, pool, precision),
         grid=(Rh // Tp,),
         in_specs=[
             _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
@@ -411,22 +461,25 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
             _const_spec((1, 2 * C3)), _const_spec((1, 2 * C3)),
             _tile_spec(Tp, 2 * C2),
         ],
-        out_specs=_tile_spec(Tp // pool, 2 * C3),
-        out_shape=jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype),
+        out_specs=(_tile_spec(Tp // pool, 2 * C3),
+                   _tile_spec(Tp // pool, 2 * C3)),
+        out_shape=(jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype),
+                   jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype)),
         interpret=interpret,
     )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul2),
       _pair2(shift2), _pair2(mul3), _pair2(shift3), p2p)
     pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
 
     stats = [(mean1, var1), (mean2, var2), (mean3, var3)]
-    return pooled, stats, p1p, p2p, (G2, ch2)
+    return pooled, stats, p1p, p2p, (G2, ch2), idxp
 
 
-def sa_backward_pair(xf, p1p, p2p, gram2, layers, stats, dpooled,
+def sa_backward_pair(xf, p1p, p2p, gram2, idxp, layers, stats, dpooled,
                      eps, dtype, interpret=False):
     """2-sweep paired backward. xf (R, C0) rows OR (B, C0, N)
     channels-first (compute dtype), p1p/p2p the paired residuals,
     gram2 = (Gram(h2), colsum(h2)) from the forward's sweep 3,
+    idxp the forward's paired pool-argmax residual,
     dpooled (R//pool, C3). Returns the SALayerParams cotangent tuple
     (same closed-form layer algebra as sa_bwd.sa_backward_pallas,
     paired accumulator blocks folded)."""
@@ -446,7 +499,6 @@ def sa_backward_pair(xf, p1p, p2p, gram2, layers, stats, dpooled,
     (mean1, var1), (mean2, var2), (mean3, var3) = stats
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
     mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)
-    mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
     gi2 = lp2.scale.astype(f32) * jax.lax.rsqrt(var2 + eps)
     gi3 = lp3.scale.astype(f32) * jax.lax.rsqrt(var3 + eps)
 
@@ -458,17 +510,17 @@ def sa_backward_pair(xf, p1p, p2p, gram2, layers, stats, dpooled,
     # Re-pair the pooled cotangent: paired pooled row g = [g | g + P/2].
     dpp = jnp.concatenate([dpooled[:P // 2], dpooled[P // 2:]], axis=1)
 
-    # Sweep 1 (paired kernel): A3 = dy3^T h2 (padding-free matmul),
-    # u3 a VPU lane sum; G2/ch2 arrive from the forward's sweep 3.
+    # Sweep 1 (paired kernel): dy3 from the argmax residual, A3 =
+    # dy3^T h2 (padding-free matmul), u3 a VPU lane sum; G2/ch2 arrive
+    # from the forward's sweep 3.
     a3p, u3p, q3p = pl.pallas_call(
         _make_sweep1_pair_kernel(pool, dtype),
         grid=grid,
         in_specs=[
-            _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
-            _const_spec((1, 2 * C3)), _const_spec((1, 2 * C3)),
             _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
             _const_spec((1, 2 * C3)), _const_spec((2 * C3, 2 * C2)),
             _tile_spec(Tb, 2 * C2), _tile_spec(tg, 2 * C3),
+            _tile_spec(tg, 2 * C3),
         ],
         out_specs=(_const_spec((2 * C3, 2 * C2)),
                    _const_spec((1, 2 * C3)),
@@ -477,9 +529,8 @@ def sa_backward_pair(xf, p1p, p2p, gram2, layers, stats, dpooled,
                    jax.ShapeDtypeStruct((1, 2 * C3), f32),
                    jax.ShapeDtypeStruct((Rh, 2 * C2), p2p.dtype)),
         interpret=interpret,
-    )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul3),
-      _pair2(shift3), _pair2(mul2), _pair2(shift2), _pair2(gi3),
-      _blkdiag(jnp.swapaxes(lp3.kernel, 0, 1)), p2p, dpp)
+    )(_pair2(mul2), _pair2(shift2), _pair2(gi3),
+      _blkdiag(jnp.swapaxes(lp3.kernel, 0, 1)), p2p, dpp, idxp)
     A3 = _fold2(a3p, C3, C2)
     u3 = _foldlanes(u3p, C3)[0]
     G2, ch2 = gram2
@@ -579,9 +630,9 @@ def _pair_impl(x, layers, eps, dtype, interpret):
     for d in x.shape[:-1]:
         rows *= d
     xf = x.astype(dtype).reshape(rows, C0)
-    pooled, stats, p1p, p2p, gram2 = sa_forward_pair(
+    pooled, stats, p1p, p2p, gram2, idxp = sa_forward_pair(
         xf, layers, K, eps, dtype, interpret)
-    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2
+    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -597,28 +648,28 @@ def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
         rows *= d
     assert (rows // x.shape[-2]) % 2 == 0, \
         "pair impl needs an even pooled-row count"
-    pooled, stats, _, _, _, _ = _pair_impl(x, tuple(layers), eps, dtype,
-                                           interpret)
+    pooled, stats = _pair_impl(x, tuple(layers), eps, dtype,
+                               interpret)[:2]
     return pooled, stats
 
 
 def _pr_fwd(x, layers, eps, dtype, interpret):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2 = _pair_impl(x, layers, eps, dtype,
-                                                   interpret)
-    return (pooled, stats), (x, p1p, p2p, gram2, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2, idxp = _pair_impl(
+        x, layers, eps, dtype, interpret)
+    return (pooled, stats), (x, p1p, p2p, gram2, idxp, layers, stats)
 
 
 def _pr_bwd(eps, dtype, interpret, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x, p1p, p2p, gram2, layers, stats = res
+    x, p1p, p2p, gram2, idxp, layers, stats = res
     C0 = x.shape[-1]
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, layers,
+        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, idxp, layers,
         stats, dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
     return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
 
@@ -629,9 +680,9 @@ sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
 def _pair_cf_impl(x_cf, layers, eps, dtype, interpret):
     Bv, C0, S, K = x_cf.shape
     x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
-    pooled, stats, p1p, p2p, gram2 = sa_forward_pair(
+    pooled, stats, p1p, p2p, gram2, idxp = sa_forward_pair(
         x3, layers, K, eps, dtype, interpret)
-    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2
+    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -647,26 +698,26 @@ def sa_train_pair_cf(x_cf: Array, layers: Tuple[SALayerParams, ...],
     assert len(layers) == 3, "pair impl is specialized to L=3"
     assert x_cf.shape[0] % 2 == 0, \
         "pair-cf impl needs an even batch row count"
-    pooled, stats, _, _, _, _ = _pair_cf_impl(x_cf, tuple(layers), eps,
-                                              dtype, interpret)
+    pooled, stats = _pair_cf_impl(x_cf, tuple(layers), eps,
+                                  dtype, interpret)[:2]
     return pooled, stats
 
 
 def _prcf_fwd(x_cf, layers, eps, dtype, interpret):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2 = _pair_cf_impl(x_cf, layers, eps,
-                                                      dtype, interpret)
-    return (pooled, stats), (x_cf, p1p, p2p, gram2, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2, idxp = _pair_cf_impl(
+        x_cf, layers, eps, dtype, interpret)
+    return (pooled, stats), (x_cf, p1p, p2p, gram2, idxp, layers, stats)
 
 
 def _prcf_bwd(eps, dtype, interpret, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x_cf, p1p, p2p, gram2, layers, stats = res
+    x_cf, p1p, p2p, gram2, idxp, layers, stats = res
     Bv, C0, S, K = x_cf.shape
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
         x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, gram2,
-        layers, stats, dpooled.reshape(-1, C3), eps, dtype,
+        idxp, layers, stats, dpooled.reshape(-1, C3), eps, dtype,
         interpret=interpret)
     return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
 
