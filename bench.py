@@ -40,14 +40,15 @@ def main() -> None:
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # BENCH_SA_IMPL: pair (full-Pallas SA stage in the paired-row
-    # full-lane-width layout — the single-chip flagship, +9% over
-    # hybrid2 and +23% over the XLA path, docs/DESIGN.md section 3) |
-    # hybrid2 | reference (direct BN reduce; GSPMD-safe default in
-    # ModelConfig) | hybrid | analytic | covar | pallas.
+    # full-lane-width layout — the single-chip flagship, docs/DESIGN.md
+    # section 3) | pair3 (slim 3-sweep backward, opt-in until
+    # TPU-verified) | hybrid2 | reference (direct BN reduce; GSPMD-safe
+    # default in ModelConfig) | hybrid | analytic | covar | pallas.
     sa_impl = os.environ.get("BENCH_SA_IMPL", "pair")
     # Channel-major neighborhoods feed the paired SA sweeps transpose-
-    # free (BENCH_CF=0 to disable; only meaningful with sa_impl=pair).
-    cf = os.environ.get("BENCH_CF", "1" if sa_impl == "pair" else "0") == "1"
+    # free (BENCH_CF=0 to disable; only meaningful with sa_impl=pair*).
+    cf = os.environ.get(
+        "BENCH_CF", "1" if sa_impl in ("pair", "pair3") else "0") == "1"
     cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                 compute_dtype=dtype,
                                                 sa_impl=sa_impl,

@@ -72,14 +72,16 @@ class ModelConfig:
     # fused sweep kernels (ops/pallas/sa_kernel.py) and "covar" into
     # Gram-matrix forward statistics; "pair" = hybrid2 in the paired-row
     # full-lane-width layout (ops/pallas/sa_pair.py) — the single-chip
-    # flagship. All golden-tested; measured standings in docs/DESIGN.md
+    # flagship; "pair3" = pair with the slim 3-sweep backward (layer-1
+    # dy-contraction formed directly instead of via third-order
+    # moments). All golden-tested; measured standings in docs/DESIGN.md
     # section 3.
     sa_impl: str = "reference"
     # Channel-major (B, C, S, K) neighborhoods through grouping + the SA
     # stage — the fused select+gather kernel's native layout, removing
     # the full-tensor transpose between it and the paired SA sweeps.
-    # Only the sa_impl="pair" train path consumes it natively; other
-    # impls (and eval) transpose back, so enable it together with
+    # Only the sa_impl="pair"/"pair3" train paths consume it natively;
+    # other impls (and eval) transpose back, so enable it together with
     # sa_impl="pair" (bench.py does).
     channels_first: bool = False
 

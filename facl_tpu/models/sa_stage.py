@@ -68,7 +68,7 @@ class SetAbstractionStage(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
-    impl: str = "auto"   # auto|reference|covar|pallas|analytic|hybrid|hybrid2|pair
+    impl: str = "auto"   # auto|reference|covar|pallas|analytic|hybrid|hybrid2|pair|pair3
     # The contrastive training step never differentiates w.r.t. the grouped
     # points (they are data); skipping dX saves a full-tensor write.
     input_grad: bool = False
@@ -87,7 +87,7 @@ class SetAbstractionStage(nn.Module):
             if x.ndim != 4:
                 raise ValueError("channels_first expects (B, C, S, K) "
                                  f"neighborhoods, got {x.shape}")
-            if not (train and self.impl == "pair"):
+            if not (train and self.impl in ("pair", "pair3")):
                 x = jnp.transpose(x, (0, 2, 3, 1))
                 cf = False
         if cf:
@@ -159,12 +159,15 @@ class SetAbstractionStage(nn.Module):
                 pooled, stats = sa_train_pfwd(
                     x, layers, self.epsilon, jnp.dtype(self.dtype),
                     jax.default_backend() == "cpu")
-            elif self.impl == "pair":
+            elif self.impl in ("pair", "pair3"):
                 # hybrid2 in the paired-row (full-lane-width) layout:
                 # rows r and r+R/2 ride side-by-side as (R/2, 2C) with
                 # block-diagonal weights, so the 64-wide trunk uses all
                 # 128 VPU lanes and the full MXU (ops/pallas/sa_pair.py).
-                # Same zero-dx contract as 'hybrid'/'hybrid2'.
+                # 'pair3' opts into the slim 3-sweep backward (layer-1
+                # dy-contraction formed directly instead of via
+                # third-order moments). Same zero-dx contract as
+                # 'hybrid'/'hybrid2'.
                 if self.input_grad:
                     raise ValueError(
                         "sa impl 'pair' defines a zero input cotangent;"
@@ -174,7 +177,8 @@ class SetAbstractionStage(nn.Module):
                 fn = sa_train_pair_cf if cf else sa_train_pair
                 pooled, stats = fn(
                     x, layers, self.epsilon, jnp.dtype(self.dtype),
-                    jax.default_backend() == "cpu")
+                    jax.default_backend() == "cpu",
+                    self.impl == "pair3")
             else:
                 # "covar" opts into Gram-matrix BN statistics: the same
                 # moments, ~none of the pre-activation reduce traffic on

@@ -43,6 +43,19 @@ lanes); forward sweep 4 additionally emits the pool-argmax residual,
 and the backward sweeps are padding-tight rewrites (see each kernel's
 docstring).
 
+Two backward modes (``slim``, exposed as ``sa_impl="pair3"``):
+
+* slim=False — the TPU-verified 2-sweep backward: sweep 2 carries the
+  layer-1 third-order moment blocks (m1*x_i)^T h1 so the dy1
+  contraction can be reassembled on the host after the layer-2
+  propagation terms M2/rc2 are known.
+* slim=True — a 3-sweep rewrite: sweep 2 drops the coupling blocks
+  (512 of its 896 left lanes plus their broadcast-multiply build);
+  once its A2/u2 accumulators fix M2/rc2 on the host, a cheap sweep 3
+  forms dy1 = m1*(q2 - h1 M2 - rc2) directly and contracts it with x,
+  and the dy-independent input Gram/colsum ride along in forward
+  sweep 1.
+
 Input cotangent contract: ZERO, like hybrid/hybrid2 — grouped
 neighborhoods are data in the training step.
 """
@@ -100,20 +113,28 @@ def _foldlanes(v, c):
     return v[:, :c] + v[:, c:]
 
 
-def _make_pair_layer1_kernel(dtype, precision, cf: bool):
+def _make_pair_layer1_kernel(dtype, precision, cf: bool, slim: bool):
     """Forward sweep 1: build the paired input tile from the lo/hi
     blocks and emit p1 (paired) + its moment sums. ``cf`` selects
     channels-first (1, C0, T) blocks — the fused select+gather kernel's
     native layout — contracted over the channel (sublane) axis directly,
-    so no XLA transpose of the (rows, C) input ever materializes."""
+    so no XLA transpose of the (rows, C) input ever materializes.
 
-    def kernel(w_ref, b_ref, lo_ref, hi_ref, p_ref, s_ref, ss_ref):
+    ``slim`` adds a fourth output: the dy-independent input reductions
+    for backward sweep 3's layer-1 terms — Gram(x) and colsum(x),
+    paired — accumulate here too (x is already in VMEM; the packed
+    (2C0, 2C0+1) block is [Gx | cx])."""
+
+    def kernel(w_ref, b_ref, lo_ref, hi_ref, p_ref, s_ref, ss_ref,
+               gx_ref=None):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             s_ref[...] = jnp.zeros_like(s_ref)
             ss_ref[...] = jnp.zeros_like(ss_ref)
+            if slim:
+                gx_ref[...] = jnp.zeros_like(gx_ref)
 
         if cf:
             # (2C0, T) stacked halves; contract sublanes against the
@@ -124,6 +145,13 @@ def _make_pair_layer1_kernel(dtype, precision, cf: bool):
                 xcf, w_ref[...].astype(dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
+            if slim:
+                T = d.shape[0]
+                xcf1 = jnp.concatenate(
+                    [xcf, jnp.ones((1, T), dtype)], axis=0)
+                gx_ref[...] += jax.lax.dot_general(
+                    xcf, xcf1, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=precision)
         else:
             xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
                                  axis=1).astype(dtype)
@@ -131,6 +159,13 @@ def _make_pair_layer1_kernel(dtype, precision, cf: bool):
                 xp, w_ref[...].astype(dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
+            if slim:
+                T = xp.shape[0]
+                xp1 = jnp.concatenate([xp, jnp.ones((T, 1), dtype)],
+                                      axis=1)
+                gx_ref[...] += jax.lax.dot_general(
+                    xp, xp1, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=precision)
         p = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
         p_ref[...] = p
         pf = p.astype(f32)
@@ -310,6 +345,107 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
     return kernel
 
 
+def _make_sweep2_slim_kernel(dtype):
+    """Backward sweep 2, slim: recompute h1/h2, form dy2 from the
+    cached q3, accumulate ONE padding-tight packed matmul
+    [dy2 | h1]^T h1 (the A2 and G1 = Gram(h1) blocks) with u2/ch1 as
+    VPU lane sums, and write the mq = m1*q2 residual for sweep 3.
+
+    The unpaired kernel's layer-1 coupling blocks (m1*x_i)^T h1 — 512
+    of its 896 left lanes plus their broadcast-multiply build — are
+    gone: they existed only because the layer-2 propagation terms
+    M2/rc2 aren't known mid-sweep, so the dy1 contraction had to be
+    left in third-order-moment form. Sweep 3 forms dy1 directly
+    instead; the dy-independent Gram(x)/colsum(x) ride in forward
+    sweep 1."""
+
+    def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
+               mul1_ref, shift1_ref, mul2_ref, shift2_ref,
+               p1_ref, p2_ref, q3_ref,
+               out_ref, sums_ref, mq_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            sums_ref[...] = jnp.zeros_like(sums_ref)
+
+        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
+        dh2 = (q3_ref[...].astype(f32)
+               - jax.lax.dot_general(
+                   h2, m3c_ref[...].astype(dtype),
+                   dimension_numbers=(((1,), (0,)), ((), ())),
+                   preferred_element_type=f32).astype(dtype).astype(f32)
+               - rc3_ref[0][None, :])
+        dy2 = jnp.where(h2.astype(f32) > 0.0, dh2, 0.0)
+        dy2d = dy2.astype(dtype)
+
+        q2 = jax.lax.dot_general(
+            dy2d * gi2_ref[0].astype(dtype)[None, :],
+            w2t_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dtype)
+        mq_ref[...] = jnp.where(h1.astype(f32) > 0.0, q2,
+                                jnp.zeros_like(q2))
+
+        c2 = dy2.shape[1]
+        _acc0(out_ref, jnp.concatenate([dy2d, h1], axis=1), h1)
+        sums_ref[0, :c2] += jnp.sum(dy2, axis=0)
+        sums_ref[0, c2:] += jnp.sum(h1.astype(f32), axis=0)
+
+    return kernel
+
+
+def _make_sweep3_pair_kernel(dtype, c0, cf: bool = False):
+    """Backward sweep 3: with M2/rc2 fixed by sweep 2's accumulators,
+    dy1 = m1 * (q2 - h1 @ M2 - rc2) is one matmul + compare away from
+    the residuals (mq = m1*q2 from sweep 2, h1 recomputed from p1), and
+    the whole layer-1 dy-contraction is the padding-tight
+    dy1^T [x | ones] -> packed [A1 | u1] (2C1, 2C0+1).
+
+    ``cf`` takes channels-first (1, C0, T) halves and transposes them
+    in-VMEM via a tiny identity matmul (8x8)."""
+
+    def kernel(m2c_ref, rc2_ref, mul1_ref, shift1_ref,
+               lo_ref, hi_ref, p1_ref, mq_ref, out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        corr = (jax.lax.dot_general(
+            h1, m2c_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dtype).astype(f32)
+            + rc2_ref[0][None, :])
+        # mq is zero wherever h1 <= 0, so masking the correction masks dy1.
+        dy1 = jnp.where(h1.astype(f32) > 0.0,
+                        mq_ref[...].astype(f32) - corr, 0.0)
+        dy1d = dy1.astype(dtype)
+
+        if cf:
+            xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
+                                  axis=0).astype(dtype)
+            cc = 2 * c0
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 1)
+                   ).astype(dtype)
+            xp = jax.lax.dot_general(
+                xcf, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(dtype)
+        else:
+            xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
+                                 axis=1).astype(dtype)
+        T = xp.shape[0]
+        xp1 = jnp.concatenate([xp, jnp.ones((T, 1), dtype)], axis=1)
+        _acc0(out_ref, dy1d, xp1)
+
+    return kernel
+
+
 def _pick_tiles(Rh, pool, bf16, N=0):
     """Paired-row tile sizes (half the hybrid2 row counts: each paired
     row is two original rows). ``N`` (channels-first mode): the
@@ -364,14 +500,16 @@ def _x_specs(x, C0, tile, Rh):
 
 
 def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
-                    interpret: bool = False):
+                    interpret: bool = False, slim: bool = False):
     """4-sweep paired forward. xf: (R, C0) flattened rows OR
     (B, C0, N) channels-first (compute dtype), R/2 a multiple of
     ``pool``. Returns
     (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2),
     gram2 = (Gram(h2) (C2, C2), colsum(h2) (C2,)) — folded sweep-3
     accumulators, saved as residuals so backward sweep 1 never
-    recomputes them)."""
+    recomputes them, idxp, gramx). ``slim`` accumulates
+    gramx = (Gram(x), colsum(x)) in sweep 1 for the 3-sweep backward;
+    otherwise gramx is None."""
     cf = xf.ndim == 3
     if cf:
         Bv, C0, N = xf.shape
@@ -388,21 +526,34 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     bf16 = jnp.dtype(dtype) != jnp.float32
     Tl, Tp, _ = _pick_tiles(Rh, pool, bf16, N)
 
-    # Sweep 1: x (lo/hi halves) -> paired p1 + moments.
+    # Sweep 1: x (lo/hi halves) -> paired p1 + moments; slim adds the
+    # packed [Gx | cx] block (the dy-independent layer-1 reductions for
+    # backward sweep 3).
     nb = Rh // Tl
-    p1p, s1, ss1 = pl.pallas_call(
-        _make_pair_layer1_kernel(dtype, precision, cf),
+    gx_specs = ((_const_spec((2 * C0, 2 * C0 + 1)),) if slim else ())
+    gx_shape = ((jax.ShapeDtypeStruct((2 * C0, 2 * C0 + 1), f32),)
+                if slim else ())
+    outs1 = pl.pallas_call(
+        _make_pair_layer1_kernel(dtype, precision, cf, slim),
         grid=(nb,),
         in_specs=[
             _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
         ] + _x_specs(xf, C0, Tl, Rh),
         out_specs=(_tile_spec(Tl, 2 * C1), _const_spec((1, 2 * C1)),
-                   _const_spec((1, 2 * C1))),
+                   _const_spec((1, 2 * C1))) + gx_specs,
         out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
                    jax.ShapeDtypeStruct((1, 2 * C1), f32),
-                   jax.ShapeDtypeStruct((1, 2 * C1), f32)),
+                   jax.ShapeDtypeStruct((1, 2 * C1), f32)) + gx_shape,
         interpret=interpret,
     )(_blkdiag(lp1.kernel), _pair2(lp1.bias), xf, xf)
+    if slim:
+        p1p, s1, ss1, gxp = outs1
+        Gx = gxp[:C0, :C0] + gxp[C0:2 * C0, C0:2 * C0]
+        cx = gxp[:C0, 2 * C0] + gxp[C0:2 * C0, 2 * C0]
+        gramx = (Gx, cx)
+    else:
+        p1p, s1, ss1 = outs1
+        gramx = None
     mean1, var1 = _finalize(_foldlanes(s1, C1), _foldlanes(ss1, C1), n)
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
 
@@ -471,18 +622,25 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
 
     stats = [(mean1, var1), (mean2, var2), (mean3, var3)]
-    return pooled, stats, p1p, p2p, (G2, ch2), idxp
+    return pooled, stats, p1p, p2p, (G2, ch2), idxp, gramx
 
 
-def sa_backward_pair(xf, p1p, p2p, gram2, idxp, layers, stats, dpooled,
-                     eps, dtype, interpret=False):
-    """2-sweep paired backward. xf (R, C0) rows OR (B, C0, N)
-    channels-first (compute dtype), p1p/p2p the paired residuals,
+def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
+                     dpooled, eps, dtype, interpret=False,
+                     slim=False):
+    """Paired backward. xf (R, C0) rows OR (B, C0, N) channels-first
+    (compute dtype), p1p/p2p the paired residuals,
     gram2 = (Gram(h2), colsum(h2)) from the forward's sweep 3,
     idxp the forward's paired pool-argmax residual,
-    dpooled (R//pool, C3). Returns the SALayerParams cotangent tuple
-    (same closed-form layer algebra as sa_bwd.sa_backward_pallas,
-    paired accumulator blocks folded)."""
+    gramx = (Gram(x), colsum(x)) from the forward's sweep 1 (slim
+    mode; None otherwise), dpooled (R//pool, C3). Returns the
+    SALayerParams cotangent tuple (same closed-form layer algebra as
+    sa_bwd.sa_backward_pallas, paired accumulator blocks folded).
+
+    slim=False: 2 sweeps — sweep 2 carries the layer-1 third-order
+    moment blocks and layer 1's terms are reassembled on the host.
+    slim=True: 3 sweeps — layer 1's dy-contraction is formed directly
+    in sweep 3 instead of via third-order moments."""
     cf = xf.ndim == 3
     if cf:
         Bv, C0, N = xf.shape
@@ -537,82 +695,139 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, layers, stats, dpooled,
 
     t3 = _layer_terms(A3, u3, lp3, mean3, var3, G2, ch2, n, eps)
 
-    # Sweep 2 (paired kernel), two padding-tight accumulations (kernel
-    # docstring): main = [dy2 | m1 | m1*x_i... | h1] x [h1],
-    # aux = [dy2 | m1 | m1*q2 | x | h1] x [x | ones].
-    Lm = 2 * C2 + (2 + C0) * 2 * C1
-    La = 2 * C2 + 3 * 2 * C1 + 2 * C0           # dy2, m1, mqd, x, h1
-    Ra = 2 * C0 + 1
-    outm, outa = pl.pallas_call(
-        _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf),
-        grid=grid,
-        in_specs=[
-            _const_spec((2 * C2, 2 * C2)),
-            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-            _const_spec((2 * C2, 2 * C1)),
-            _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
-            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-        ] + _x_specs(xf, C0, Tb, Rh) + [
-            _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
-            _tile_spec(Tb, 2 * C2),
-        ],
-        out_specs=(_const_spec((Lm, 2 * C1)), _const_spec((La, Ra))),
-        out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
-                   jax.ShapeDtypeStruct((La, Ra), f32)),
-        interpret=interpret,
-    )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
-      _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
-      _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
-      xf, xf, p1p, p2p, q3p)
+    if slim:
+        # Sweep 2 (slim): [dy2 | h1] x h1 -> packed [A2 / G1], u2/ch1
+        # lane sums, and the mq = m1*q2 residual for sweep 3.
+        Lm = 2 * C2 + 2 * C1
+        out2, sums2, mqp = pl.pallas_call(
+            _make_sweep2_slim_kernel(dtype),
+            grid=grid,
+            in_specs=[
+                _const_spec((2 * C2, 2 * C2)),
+                _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+                _const_spec((2 * C2, 2 * C1)),
+                _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+                _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
+                _tile_spec(Tb, 2 * C2),
+            ],
+            out_specs=(_const_spec((Lm, 2 * C1)),
+                       _const_spec((1, 2 * C2 + 2 * C1)),
+                       _tile_spec(Tb, 2 * C1)),
+            out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
+                       jax.ShapeDtypeStruct((1, 2 * C2 + 2 * C1), f32),
+                       jax.ShapeDtypeStruct((Rh, 2 * C1), p1p.dtype)),
+            interpret=interpret,
+        )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
+          _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
+          _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
+          p1p, p2p, q3p)
 
-    hL, hR = slice(0, C1), slice(C1, 2 * C1)
-    xL, xR, one = slice(0, C0), slice(C0, 2 * C0), 2 * C0
+        A2 = _fold2(out2[:2 * C2], C2, C1)
+        G1 = _fold2(out2[2 * C2:], C1, C1)
+        u2 = _foldlanes(sums2[:, :2 * C2], C2)[0]
+        ch1 = _foldlanes(sums2[:, 2 * C2:], C1)[0]
 
-    def blk(out, r0, a):
-        return out[r0:r0 + a], out[r0 + a:r0 + 2 * a]
+        t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
 
-    # main: row blocks [dy2 | m1 | m1*x_i... | h1], columns h1.
-    rm = 0
-    lo, hi = blk(outm, rm, C2)
-    A2 = lo[:, hL] + hi[:, hR]
-    rm += 2 * C2
-    lo, hi = blk(outm, rm, C1)
-    TM1 = lo[:, hL] + hi[:, hR]
-    rm += 2 * C1
-    U1 = jnp.stack(
-        [blk(outm, rm + i * 2 * C1, C1)[0][:, hL]
-         + blk(outm, rm + i * 2 * C1, C1)[1][:, hR]
-         for i in range(C0)], axis=-1)               # (C1, C1, C0)
-    rm += C0 * 2 * C1
-    lo, hi = blk(outm, rm, C1)
-    G1 = lo[:, hL] + hi[:, hR]
+        # Sweep 3: dy1 = m1*(q2 - h1 M2 - rc2) directly, packed
+        # dy1^T [x | ones] -> [A1 | u1].
+        out3 = pl.pallas_call(
+            _make_sweep3_pair_kernel(dtype, C0, cf),
+            grid=grid,
+            in_specs=[
+                _const_spec((2 * C1, 2 * C1)), _const_spec((1, 2 * C1)),
+                _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+            ] + _x_specs(xf, C0, Tb, Rh) + [
+                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C1),
+            ],
+            out_specs=_const_spec((2 * C1, 2 * C0 + 1)),
+            out_shape=jax.ShapeDtypeStruct((2 * C1, 2 * C0 + 1), f32),
+            interpret=interpret,
+        )(_blkdiag(t2["M"]), _pair2(t2["rc"]), _pair2(mul1),
+          _pair2(shift1), xf, xf, p1p, mqp)
 
-    # aux: row blocks [dy2 | m1 | m1*q2 | x | h1], columns [x | ones].
-    ra = 0
-    lo, hi = blk(outa, ra, C2)
-    u2 = lo[:, one] + hi[:, one]
-    ra += 2 * C2
-    lo, hi = blk(outa, ra, C1)
-    T1x = lo[:, xL] + hi[:, xR]
-    cnt1 = lo[:, one] + hi[:, one]
-    ra += 2 * C1
-    lo, hi = blk(outa, ra, C1)
-    P1 = lo[:, xL] + hi[:, xR]
-    acc1 = lo[:, one] + hi[:, one]
-    ra += 2 * C1
-    lo, hi = blk(outa, ra, C0)
-    Gx = lo[:, xL] + hi[:, xR]
-    cx = lo[:, one] + hi[:, one]
-    ra += 2 * C0
-    lo, hi = blk(outa, ra, C1)
-    ch1 = lo[:, one] + hi[:, one]
+        A1 = out3[:C1, :C0] + out3[C1:2 * C1, C0:2 * C0]
+        u1 = out3[:C1, 2 * C0] + out3[C1:2 * C1, 2 * C0]
+        Gx, cx = gramx
+        t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
+    else:
+        # Sweep 2 (paired kernel), two padding-tight accumulations
+        # (kernel docstring): main = [dy2 | m1 | m1*x_i... | h1] x [h1],
+        # aux = [dy2 | m1 | m1*q2 | x | h1] x [x | ones].
+        Lm = 2 * C2 + (2 + C0) * 2 * C1
+        La = 2 * C2 + 3 * 2 * C1 + 2 * C0       # dy2, m1, mqd, x, h1
+        Ra = 2 * C0 + 1
+        outm, outa = pl.pallas_call(
+            _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf),
+            grid=grid,
+            in_specs=[
+                _const_spec((2 * C2, 2 * C2)),
+                _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+                _const_spec((2 * C2, 2 * C1)),
+                _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+                _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            ] + _x_specs(xf, C0, Tb, Rh) + [
+                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
+                _tile_spec(Tb, 2 * C2),
+            ],
+            out_specs=(_const_spec((Lm, 2 * C1)), _const_spec((La, Ra))),
+            out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
+                       jax.ShapeDtypeStruct((La, Ra), f32)),
+            interpret=interpret,
+        )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
+          _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
+          _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
+          xf, xf, p1p, p2p, q3p)
 
-    t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
+        hL, hR = slice(0, C1), slice(C1, 2 * C1)
+        xL, xR, one = slice(0, C0), slice(C0, 2 * C0), 2 * C0
 
-    M2, rc2 = t2["M"], t2["rc"]
-    u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2) - cnt1 * rc2
-    A1 = P1 - jnp.einsum("jc,cji->ci", M2, U1) - rc2[:, None] * T1x
-    t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
+        def blk(out, r0, a):
+            return out[r0:r0 + a], out[r0 + a:r0 + 2 * a]
+
+        # main: row blocks [dy2 | m1 | m1*x_i... | h1], columns h1.
+        rm = 0
+        lo, hi = blk(outm, rm, C2)
+        A2 = lo[:, hL] + hi[:, hR]
+        rm += 2 * C2
+        lo, hi = blk(outm, rm, C1)
+        TM1 = lo[:, hL] + hi[:, hR]
+        rm += 2 * C1
+        U1 = jnp.stack(
+            [blk(outm, rm + i * 2 * C1, C1)[0][:, hL]
+             + blk(outm, rm + i * 2 * C1, C1)[1][:, hR]
+             for i in range(C0)], axis=-1)           # (C1, C1, C0)
+        rm += C0 * 2 * C1
+        lo, hi = blk(outm, rm, C1)
+        G1 = lo[:, hL] + hi[:, hR]
+
+        # aux: row blocks [dy2 | m1 | m1*q2 | x | h1], cols [x | ones].
+        ra = 0
+        lo, hi = blk(outa, ra, C2)
+        u2 = lo[:, one] + hi[:, one]
+        ra += 2 * C2
+        lo, hi = blk(outa, ra, C1)
+        T1x = lo[:, xL] + hi[:, xR]
+        cnt1 = lo[:, one] + hi[:, one]
+        ra += 2 * C1
+        lo, hi = blk(outa, ra, C1)
+        P1 = lo[:, xL] + hi[:, xR]
+        acc1 = lo[:, one] + hi[:, one]
+        ra += 2 * C1
+        lo, hi = blk(outa, ra, C0)
+        Gx = lo[:, xL] + hi[:, xR]
+        cx = lo[:, one] + hi[:, one]
+        ra += 2 * C0
+        lo, hi = blk(outa, ra, C1)
+        ch1 = lo[:, one] + hi[:, one]
+
+        t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
+
+        M2, rc2 = t2["M"], t2["rc"]
+        u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2) - cnt1 * rc2
+        A1 = P1 - jnp.einsum("jc,cji->ci", M2, U1) - rc2[:, None] * T1x
+        t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
 
     def as_grad(lp, t):
         return SALayerParams(
@@ -624,24 +839,26 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, layers, stats, dpooled,
     return (as_grad(lp1, t1), as_grad(lp2, t2), as_grad(lp3, t3))
 
 
-def _pair_impl(x, layers, eps, dtype, interpret):
+def _pair_impl(x, layers, eps, dtype, interpret, slim):
     *lead, K, C0 = x.shape
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     xf = x.astype(dtype).reshape(rows, C0)
-    pooled, stats, p1p, p2p, gram2, idxp = sa_forward_pair(
-        xf, layers, K, eps, dtype, interpret)
-    return pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp
+    pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
+        xf, layers, K, eps, dtype, interpret, slim)
+    return (pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp,
+            gramx)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
                   eps: float = 1e-5, dtype=jnp.float32,
-                  interpret: bool = False):
+                  interpret: bool = False, slim: bool = False):
     """Paired-layout Pallas forward + backward. x: (..., K, C0);
     requires 3 layers and an even pooled-row count (so each pool group
-    lives in one half). Input cotangent is ZERO by contract."""
+    lives in one half). ``slim`` selects the 3-sweep backward (module
+    docstring). Input cotangent is ZERO by contract."""
     assert len(layers) == 3, "pair impl is specialized to L=3"
     rows = 1
     for d in x.shape[:-1]:
@@ -649,76 +866,81 @@ def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
     assert (rows // x.shape[-2]) % 2 == 0, \
         "pair impl needs an even pooled-row count"
     pooled, stats = _pair_impl(x, tuple(layers), eps, dtype,
-                               interpret)[:2]
+                               interpret, slim)[:2]
     return pooled, stats
 
 
-def _pr_fwd(x, layers, eps, dtype, interpret):
+def _pr_fwd(x, layers, eps, dtype, interpret, slim):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2, idxp = _pair_impl(
-        x, layers, eps, dtype, interpret)
-    return (pooled, stats), (x, p1p, p2p, gram2, idxp, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2, idxp, gramx = _pair_impl(
+        x, layers, eps, dtype, interpret, slim)
+    return (pooled, stats), (x, p1p, p2p, gram2, idxp, gramx, layers,
+                             stats)
 
 
-def _pr_bwd(eps, dtype, interpret, res, cts):
+def _pr_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x, p1p, p2p, gram2, idxp, layers, stats = res
+    x, p1p, p2p, gram2, idxp, gramx, layers, stats = res
     C0 = x.shape[-1]
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, idxp, layers,
-        stats, dpooled.reshape(-1, C3), eps, dtype, interpret=interpret)
+        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, idxp, gramx,
+        layers, stats, dpooled.reshape(-1, C3), eps, dtype,
+        interpret=interpret, slim=slim)
     return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
 
 
 sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
 
 
-def _pair_cf_impl(x_cf, layers, eps, dtype, interpret):
+def _pair_cf_impl(x_cf, layers, eps, dtype, interpret, slim):
     Bv, C0, S, K = x_cf.shape
     x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
-    pooled, stats, p1p, p2p, gram2, idxp = sa_forward_pair(
-        x3, layers, K, eps, dtype, interpret)
-    return pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp
+    pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
+        x3, layers, K, eps, dtype, interpret, slim)
+    return (pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp,
+            gramx)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def sa_train_pair_cf(x_cf: Array, layers: Tuple[SALayerParams, ...],
                      eps: float = 1e-5, dtype=jnp.float32,
-                     interpret: bool = False):
+                     interpret: bool = False, slim: bool = False):
     """Channels-first paired entry: x_cf (B, C0, S, K) — the fused
     select+gather kernel's native layout, consumed without any XLA
     transpose (the x-touching sweeps read (1, C0, tile) blocks and
     contract/transpose in-VMEM). Max-pools over K. Requires 3 layers
-    and an even B (pairing is b <-> b + B/2). Input cotangent is ZERO
-    by contract."""
+    and an even B (pairing is b <-> b + B/2). ``slim`` selects the
+    3-sweep backward (module docstring). Input cotangent is ZERO by
+    contract."""
     assert len(layers) == 3, "pair impl is specialized to L=3"
     assert x_cf.shape[0] % 2 == 0, \
         "pair-cf impl needs an even batch row count"
     pooled, stats = _pair_cf_impl(x_cf, tuple(layers), eps,
-                                  dtype, interpret)[:2]
+                                  dtype, interpret, slim)[:2]
     return pooled, stats
 
 
-def _prcf_fwd(x_cf, layers, eps, dtype, interpret):
+def _prcf_fwd(x_cf, layers, eps, dtype, interpret, slim):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2, idxp = _pair_cf_impl(
-        x_cf, layers, eps, dtype, interpret)
-    return (pooled, stats), (x_cf, p1p, p2p, gram2, idxp, layers, stats)
+    pooled, stats, _, p1p, p2p, gram2, idxp, gramx = _pair_cf_impl(
+        x_cf, layers, eps, dtype, interpret, slim)
+    return (pooled, stats), (x_cf, p1p, p2p, gram2, idxp, gramx, layers,
+                             stats)
 
 
-def _prcf_bwd(eps, dtype, interpret, res, cts):
+def _prcf_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x_cf, p1p, p2p, gram2, idxp, layers, stats = res
+    x_cf, p1p, p2p, gram2, idxp, gramx, layers, stats = res
     Bv, C0, S, K = x_cf.shape
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
         x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, gram2,
-        idxp, layers, stats, dpooled.reshape(-1, C3), eps, dtype,
-        interpret=interpret)
+        idxp, gramx, layers, stats, dpooled.reshape(-1, C3), eps, dtype,
+        interpret=interpret, slim=slim)
     return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
 
 

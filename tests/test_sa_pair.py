@@ -14,14 +14,16 @@ from facl_tpu.ops.pallas.sa_pair import sa_train_pair
 from tests.test_analytic_sa import make_layers, reference_forward
 
 
-def test_pair_forward_matches_reference(rng):
+@pytest.mark.parametrize("slim", [False, True])
+def test_pair_forward_matches_reference(rng, slim):
     B, S, K, C = 2, 4, 8, 4
     widths = (8, 8, 16)
     x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
     layers = make_layers(rng, widths, C)
     eps = 1e-5
 
-    pooled_p, stats_p = sa_train_pair(x, layers, eps, jnp.float32, True)
+    pooled_p, stats_p = sa_train_pair(x, layers, eps, jnp.float32, True,
+                                      slim)
     pooled_r, stats_r = reference_forward(x, layers, eps, jnp.float32)
     assert pooled_p.shape == pooled_r.shape
     np.testing.assert_allclose(np.asarray(pooled_p), np.asarray(pooled_r),
@@ -33,7 +35,8 @@ def test_pair_forward_matches_reference(rng):
                                    rtol=5e-4, atol=1e-5, err_msg=f"var{i}")
 
 
-def test_pair_grad_matches_autodiff(rng):
+@pytest.mark.parametrize("slim", [False, True])
+def test_pair_grad_matches_autodiff(rng, slim):
     B, S, K, C = 2, 4, 8, 4
     widths = (8, 8, 16)
     x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
@@ -47,7 +50,7 @@ def test_pair_grad_matches_autodiff(rng):
             return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
         return f
 
-    gl_p = jax.grad(loss(sa_train_pair, (True,)))(layers)
+    gl_p = jax.grad(loss(sa_train_pair, (True, slim)))(layers)
     gl_r = jax.grad(loss(reference_forward))(layers)
     for lp, lr in zip(gl_p, gl_r):
         for name in ("kernel", "scale", "shift"):
@@ -88,7 +91,8 @@ def test_pair_bf16_statistical_parity(rng):
             assert relf < 0.15 and cos > 0.99, (name, relf, cos)
 
 
-def test_pair_cf_matches_reference(rng):
+@pytest.mark.parametrize("slim", [False, True])
+def test_pair_cf_matches_reference(rng, slim):
     """Channels-first entry: same values and grads as the reference,
     fed the (B, C, S, K) layout the fused select+gather kernel emits."""
     from facl_tpu.ops.pallas.sa_pair import sa_train_pair_cf
@@ -102,7 +106,7 @@ def test_pair_cf_matches_reference(rng):
     wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
 
     pooled_p, stats_p = sa_train_pair_cf(x_cf, layers, eps, jnp.float32,
-                                         True)
+                                         True, slim)
     pooled_r, stats_r = reference_forward(x, layers, eps, jnp.float32)
     np.testing.assert_allclose(np.asarray(pooled_p), np.asarray(pooled_r),
                                rtol=1e-4, atol=1e-5)
@@ -118,7 +122,7 @@ def test_pair_cf_matches_reference(rng):
             return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
         return f
 
-    gl_p = jax.grad(loss(sa_train_pair_cf, x_cf, (True,)))(layers)
+    gl_p = jax.grad(loss(sa_train_pair_cf, x_cf, (True, slim)))(layers)
     gl_r = jax.grad(loss(reference_forward, x))(layers)
     for lp, lr in zip(gl_p, gl_r):
         for name in ("kernel", "scale", "shift"):
@@ -154,7 +158,7 @@ def test_stage_channels_first_all_paths(rng):
 
     for train in (True, False):
         l_r, bs_r, _ = run("reference", False, train)
-        for impl in ("pair", "reference"):
+        for impl in ("pair", "pair3", "reference"):
             l_p, bs_p, _ = run(impl, True, train)
             np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_r),
                                        rtol=1e-4, atol=1e-4,
@@ -164,7 +168,8 @@ def test_stage_channels_first_all_paths(rng):
                 bs_p, bs_r)
 
 
-def test_stage_pair_runs_and_matches(rng):
+@pytest.mark.parametrize("pair_impl", ["pair", "pair3"])
+def test_stage_pair_runs_and_matches(rng, pair_impl):
     from facl_tpu.models.sa_stage import SetAbstractionStage
 
     x = jnp.asarray(rng.normal(size=(4, 6, 8, 4)).astype(np.float32))
@@ -182,7 +187,7 @@ def test_stage_pair_runs_and_matches(rng):
         return l, bs, g["params"]
 
     l_r, bs_r, g_r = run("reference")
-    l_p, bs_p, g_p = run("pair")
+    l_p, bs_p, g_p = run(pair_impl)
     np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_r),
                                rtol=1e-4, atol=1e-4)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(

@@ -51,6 +51,12 @@ def main() -> None:
             from facl_tpu.ops.pallas.sa_fwd import sa_train_pfwd as f
         elif impl == "pair":
             from facl_tpu.ops.pallas.sa_pair import sa_train_pair as f
+        elif impl == "pair3":
+            from facl_tpu.ops.pallas.sa_pair import sa_train_pair
+
+            def f(x, layers, eps, dtype, interpret):
+                return sa_train_pair(x, layers, eps, dtype, interpret,
+                                     True)
         elif impl == "hybrid":
             from facl_tpu.ops.pallas.sa_bwd import sa_train_hybrid as f
         else:
