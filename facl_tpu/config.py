@@ -71,11 +71,13 @@ class ModelConfig:
     # + the same backward (ops/pallas/sa_fwd.py); "pallas" opts into the
     # fused sweep kernels (ops/pallas/sa_kernel.py) and "covar" into
     # Gram-matrix forward statistics; "pair" = hybrid2 in the paired-row
-    # full-lane-width layout (ops/pallas/sa_pair.py) — the single-chip
-    # flagship; "pair3" = pair with the slim 3-sweep backward (layer-1
+    # full-lane-width layout (ops/pallas/sa_pair.py) — the flagship;
+    # "pair3" = pair with the slim 3-sweep backward (layer-1
     # dy-contraction formed directly instead of via third-order
-    # moments). All golden-tested; measured standings in docs/DESIGN.md
-    # section 3.
+    # moments). On a multi-device mesh (Trainer(..., mesh=...)) the
+    # pair/pair3 sweeps run per-shard under shard_map with global BN
+    # statistics psum'd over dp (sa_pair.make_sharded_pair). All
+    # golden-tested; measured standings in docs/DESIGN.md section 3.
     sa_impl: str = "reference"
     # Channel-major (B, C, S, K) neighborhoods through grouping + the SA
     # stage — the fused select+gather kernel's native layout, removing

@@ -24,7 +24,7 @@ video jointly (cn3d_model_conbag.py:225-226): reshape (G, B, S, F) ->
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,15 +38,21 @@ Array = jax.Array
 
 
 class PointNetPlus(nn.Module):
-    """Single-level set-abstraction encoder with local + global heads."""
+    """Single-level set-abstraction encoder with local + global heads.
+
+    ``mesh``: optional device mesh — forwarded to the SA stage so the
+    pair/pair3 Pallas path runs per-shard under shard_map with global
+    BN statistics (sa_stage.SetAbstractionStage.mesh)."""
     cfg: ModelConfig
+    mesh: Any = None
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         self.sa_stage = SetAbstractionStage(
             self.cfg.sa_widths, bn_momentum=self.cfg.bn_momentum,
             dtype=dtype, impl=self.cfg.sa_impl,
-            channels_first=self.cfg.channels_first)
+            channels_first=self.cfg.channels_first,
+            mesh=self.mesh)
         self.stage2_mlp = PointMLP(self.cfg.stage2_widths,
                                    bn_momentum=self.cfg.bn_momentum, dtype=dtype)
         self.head = EmbedHead(self.cfg.fc_hidden, self.cfg.embed_dim,
@@ -97,7 +103,7 @@ class PointNetPlus(nn.Module):
         return x, code, x_nor, x_global
 
 
-def resolve_model(cfg) -> Tuple[nn.Module, "GroupingConfig"]:
+def resolve_model(cfg, mesh=None) -> Tuple[nn.Module, "GroupingConfig"]:
     """Select the encoder + its *effective* grouping from ``ModelConfig.name``.
 
     The reference's 'fine' variant (``PointNet_Plus_fine``,
@@ -108,6 +114,8 @@ def resolve_model(cfg) -> Tuple[nn.Module, "GroupingConfig"]:
 
     Args:
       cfg: the full :class:`facl_tpu.config.Config`.
+      mesh: optional device mesh, forwarded to the encoder (the
+        pair/pair3 SA path then runs per-shard under shard_map).
     Returns:
       (flax module, GroupingConfig actually used for this model).
     Raises:
@@ -118,12 +126,12 @@ def resolve_model(cfg) -> Tuple[nn.Module, "GroupingConfig"]:
 
     name = cfg.model.name
     if name == "pointnet_plus":
-        return PointNetPlus(cfg.model), cfg.grouping
+        return PointNetPlus(cfg.model, mesh=mesh), cfg.grouping
     if name == "pointnet_plus_fine":
         g = dataclasses.replace(cfg.grouping,
                                 num_centroids=cfg.model.fine_num_centroids,
                                 knn_k=cfg.model.fine_knn_k)
-        return PointNetPlus(cfg.model), g
+        return PointNetPlus(cfg.model, mesh=mesh), g
     if name == "slow_fast":
         raise ValueError(
             "model name 'slow_fast' has a two-pathway forward; use "

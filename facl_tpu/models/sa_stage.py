@@ -14,7 +14,7 @@ BN statistics global) or wrap the call in shard_map. Single-chip training
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,14 @@ class SetAbstractionStage(nn.Module):
     # every other impl (and eval mode) transposes back to channels-last
     # first — correct everywhere, fast where it matters.
     channels_first: bool = False
+    # Device mesh for the "pair"/"pair3" train path: when set (and
+    # >1 device), the paired-row Pallas sweeps run per-shard under
+    # shard_map with GLOBAL BatchNorm statistics psum'd over
+    # ``shard_axis`` (ops/pallas/sa_pair.py::make_sharded_pair) —
+    # keeping the fast kernels on multi-chip meshes instead of falling
+    # back to the XLA reference path.
+    mesh: Any = None
+    shard_axis: str = "dp"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -172,13 +180,22 @@ class SetAbstractionStage(nn.Module):
                     raise ValueError(
                         "sa impl 'pair' defines a zero input cotangent;"
                         " use 'analytic' when input gradients are needed")
-                from facl_tpu.ops.pallas.sa_pair import (sa_train_pair,
-                                                         sa_train_pair_cf)
-                fn = sa_train_pair_cf if cf else sa_train_pair
-                pooled, stats = fn(
-                    x, layers, self.epsilon, jnp.dtype(self.dtype),
-                    jax.default_backend() == "cpu",
-                    self.impl == "pair3")
+                if self.mesh is not None and self.mesh.size > 1:
+                    from facl_tpu.ops.pallas.sa_pair import \
+                        make_sharded_pair
+                    fn = make_sharded_pair(
+                        self.mesh, self.shard_axis, self.epsilon,
+                        jnp.dtype(self.dtype), self.impl == "pair3",
+                        cf, jax.default_backend() == "cpu")
+                    pooled, stats = fn(x, layers)
+                else:
+                    from facl_tpu.ops.pallas.sa_pair import (
+                        sa_train_pair, sa_train_pair_cf)
+                    fn = sa_train_pair_cf if cf else sa_train_pair
+                    pooled, stats = fn(
+                        x, layers, self.epsilon, jnp.dtype(self.dtype),
+                        jax.default_backend() == "cpu",
+                        self.impl == "pair3")
             else:
                 # "covar" opts into Gram-matrix BN statistics: the same
                 # moments, ~none of the pre-activation reduce traffic on

@@ -500,7 +500,8 @@ def _x_specs(x, C0, tile, Rh):
 
 
 def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
-                    interpret: bool = False, slim: bool = False):
+                    interpret: bool = False, slim: bool = False,
+                    axis_name=None):
     """4-sweep paired forward. xf: (R, C0) flattened rows OR
     (B, C0, N) channels-first (compute dtype), R/2 a multiple of
     ``pool``. Returns
@@ -509,7 +510,14 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     accumulators, saved as residuals so backward sweep 1 never
     recomputes them, idxp, gramx). ``slim`` accumulates
     gramx = (Gram(x), colsum(x)) in sweep 1 for the 3-sweep backward;
-    otherwise gramx is None."""
+    otherwise gramx is None.
+
+    ``axis_name``: when running per-shard inside ``shard_map``
+    (make_sharded_pair), the BatchNorm moment accumulators and the
+    Gram residuals are psum'd over this mesh axis so every shard sees
+    the GLOBAL statistics (the multi-chip analogue of the reference's
+    whole-batch BN, cn3d_model_conbag.py:43-88); row-shaped outputs
+    stay per-shard."""
     cf = xf.ndim == 3
     if cf:
         Bv, C0, N = xf.shape
@@ -520,7 +528,12 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     Rh = R // 2
     lp1, lp2, lp3 = layers
     C1, C2, C3 = (lp.kernel.shape[1] for lp in layers)
-    n = R
+    n = R if axis_name is None else R * jax.lax.psum(1, axis_name)
+
+    def _g(v):
+        """Shard-local accumulator -> global (psum over the mesh axis)."""
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
+
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(dtype) == jnp.float32 else None)
     bf16 = jnp.dtype(dtype) != jnp.float32
@@ -550,11 +563,12 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
         p1p, s1, ss1, gxp = outs1
         Gx = gxp[:C0, :C0] + gxp[C0:2 * C0, C0:2 * C0]
         cx = gxp[:C0, 2 * C0] + gxp[C0:2 * C0, 2 * C0]
-        gramx = (Gx, cx)
+        gramx = (_g(Gx), _g(cx))
     else:
         p1p, s1, ss1 = outs1
         gramx = None
-    mean1, var1 = _finalize(_foldlanes(s1, C1), _foldlanes(ss1, C1), n)
+    mean1, var1 = _finalize(_g(_foldlanes(s1, C1)),
+                            _g(_foldlanes(ss1, C1)), n)
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
 
     # Sweep 2: paired p1 -> paired p2 + moments (hybrid2 kernel,
@@ -575,7 +589,8 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
         interpret=interpret,
     )(_blkdiag(lp2.kernel), _pair2(lp2.bias), _pair2(mul1),
       _pair2(shift1), p1p)
-    mean2, var2 = _finalize(_foldlanes(s2, C2), _foldlanes(ss2, C2), n)
+    mean2, var2 = _finalize(_g(_foldlanes(s2, C2)),
+                            _g(_foldlanes(ss2, C2)), n)
     mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)
 
     # Sweep 3: Gram/colsum of paired h2 -> layer-3 moments via the
@@ -591,8 +606,8 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
                    jax.ShapeDtypeStruct((1, 2 * C2), f32)),
         interpret=interpret,
     )(_pair2(mul2), _pair2(shift2), p2p)
-    G2 = _fold2(Gp, C2, C2)
-    ch2 = _foldlanes(chp, C2)[0]
+    G2 = _g(_fold2(Gp, C2, C2))
+    ch2 = _g(_foldlanes(chp, C2)[0])
     w3f = lp3.kernel.astype(f32)
     b3f = lp3.bias.astype(f32)
     mean3 = (ch2 @ w3f) / n + b3f
@@ -627,7 +642,7 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
 
 def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
                      dpooled, eps, dtype, interpret=False,
-                     slim=False):
+                     slim=False, axis_name=None):
     """Paired backward. xf (R, C0) rows OR (B, C0, N) channels-first
     (compute dtype), p1p/p2p the paired residuals,
     gram2 = (Gram(h2), colsum(h2)) from the forward's sweep 3,
@@ -640,7 +655,12 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
     slim=False: 2 sweeps — sweep 2 carries the layer-1 third-order
     moment blocks and layer 1's terms are reassembled on the host.
     slim=True: 3 sweeps — layer 1's dy-contraction is formed directly
-    in sweep 3 instead of via third-order moments."""
+    in sweep 3 instead of via third-order moments.
+
+    ``axis_name``: per-shard mode (make_sharded_pair) — every
+    dy-contraction accumulator is psum'd over the mesh axis before the
+    layer algebra, so the returned cotangents are the GLOBAL gradients
+    (identical on every shard)."""
     cf = xf.ndim == 3
     if cf:
         Bv, C0, N = xf.shape
@@ -652,7 +672,11 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
     C1, C2 = p1p.shape[1] // 2, p2p.shape[1] // 2
     P, C3 = dpooled.shape
     pool = R // P
-    n = R
+    n = R if axis_name is None else R * jax.lax.psum(1, axis_name)
+
+    def _g(v):
+        """Shard-local accumulator -> global (psum over the mesh axis)."""
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
     lp1, lp2, lp3 = layers
     (mean1, var1), (mean2, var2), (mean3, var3) = stats
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
@@ -689,9 +713,9 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         interpret=interpret,
     )(_pair2(mul2), _pair2(shift2), _pair2(gi3),
       _blkdiag(jnp.swapaxes(lp3.kernel, 0, 1)), p2p, dpp, idxp)
-    A3 = _fold2(a3p, C3, C2)
-    u3 = _foldlanes(u3p, C3)[0]
-    G2, ch2 = gram2
+    A3 = _g(_fold2(a3p, C3, C2))
+    u3 = _g(_foldlanes(u3p, C3)[0])
+    G2, ch2 = gram2              # already global (forward psums them)
 
     t3 = _layer_terms(A3, u3, lp3, mean3, var3, G2, ch2, n, eps)
 
@@ -723,10 +747,10 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
           _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
           p1p, p2p, q3p)
 
-        A2 = _fold2(out2[:2 * C2], C2, C1)
-        G1 = _fold2(out2[2 * C2:], C1, C1)
-        u2 = _foldlanes(sums2[:, :2 * C2], C2)[0]
-        ch1 = _foldlanes(sums2[:, 2 * C2:], C1)[0]
+        A2 = _g(_fold2(out2[:2 * C2], C2, C1))
+        G1 = _g(_fold2(out2[2 * C2:], C1, C1))
+        u2 = _g(_foldlanes(sums2[:, :2 * C2], C2)[0])
+        ch1 = _g(_foldlanes(sums2[:, 2 * C2:], C1)[0])
 
         t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
 
@@ -747,9 +771,9 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         )(_blkdiag(t2["M"]), _pair2(t2["rc"]), _pair2(mul1),
           _pair2(shift1), xf, xf, p1p, mqp)
 
-        A1 = out3[:C1, :C0] + out3[C1:2 * C1, C0:2 * C0]
-        u1 = out3[:C1, 2 * C0] + out3[C1:2 * C1, 2 * C0]
-        Gx, cx = gramx
+        A1 = _g(out3[:C1, :C0] + out3[C1:2 * C1, C0:2 * C0])
+        u1 = _g(out3[:C1, 2 * C0] + out3[C1:2 * C1, 2 * C0])
+        Gx, cx = gramx           # already global (forward psums them)
         t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
     else:
         # Sweep 2 (paired kernel), two padding-tight accumulations
@@ -780,6 +804,7 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
           _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
           xf, xf, p1p, p2p, q3p)
 
+        outm, outa = _g(outm), _g(outa)
         hL, hR = slice(0, C1), slice(C1, 2 * C1)
         xL, xR, one = slice(0, C0), slice(C0, 2 * C0), 2 * C0
 
@@ -839,14 +864,14 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
     return (as_grad(lp1, t1), as_grad(lp2, t2), as_grad(lp3, t3))
 
 
-def _pair_impl(x, layers, eps, dtype, interpret, slim):
+def _pair_impl(x, layers, eps, dtype, interpret, slim, axis_name=None):
     *lead, K, C0 = x.shape
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     xf = x.astype(dtype).reshape(rows, C0)
     pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
-        xf, layers, K, eps, dtype, interpret, slim)
+        xf, layers, K, eps, dtype, interpret, slim, axis_name)
     return (pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp,
             gramx)
 
@@ -896,11 +921,12 @@ def _pr_bwd(eps, dtype, interpret, slim, res, cts):
 sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
 
 
-def _pair_cf_impl(x_cf, layers, eps, dtype, interpret, slim):
+def _pair_cf_impl(x_cf, layers, eps, dtype, interpret, slim,
+                  axis_name=None):
     Bv, C0, S, K = x_cf.shape
     x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
     pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
-        x3, layers, K, eps, dtype, interpret, slim)
+        x3, layers, K, eps, dtype, interpret, slim, axis_name)
     return (pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp,
             gramx)
 
@@ -945,3 +971,107 @@ def _prcf_bwd(eps, dtype, interpret, slim, res, cts):
 
 
 sa_train_pair_cf.defvjp(_prcf_fwd, _prcf_bwd)
+
+
+def make_sharded_pair(mesh, axis_name: str, eps: float, dtype,
+                      slim: bool, cf: bool, interpret: bool = False):
+    """Multi-chip pair stage: per-shard Pallas sweeps under
+    ``jax.shard_map`` with GLOBAL BatchNorm statistics via psum over
+    ``axis_name`` — the TPU-native analogue of whole-batch BN under
+    data parallelism (reference semantics: the train-mode BN of
+    cn3d_model_conbag.py:43-88; its dead multi-device path:
+    concat_all_gather, :559-570). A pallas_call is a single-device
+    program, so under GSPMD the SA stage previously had to fall back
+    to the XLA reference path on any mesh; this keeps the paired-row
+    kernels on every chip.
+
+    Both shard_map calls live INSIDE a custom_vjp, so autodiff never
+    differentiates through shard_map: the backward shard_map psums the
+    dy-contraction accumulators before the layer algebra and every
+    shard emits the identical global cotangent (out_spec P()) — no
+    transpose machinery, no fudge factors.
+
+    Returns ``f(x, layers) -> (pooled, stats)``; x is (GB, S, K, C)
+    rows or (B, C, S, K) channels-first (``cf``), sharded over dim 0
+    on ``axis_name``; per-shard pairing needs an even per-shard
+    pooled-row count. The input cotangent is ZERO by contract."""
+    from jax.sharding import PartitionSpec as P
+
+    shard = P(axis_name)
+    rep = P()
+    impl = _pair_cf_impl if cf else _pair_impl
+    nsh = mesh.shape[axis_name]
+
+    def _fwd_shard(x, layers):
+        pooled, stats, _, p1p, p2p, gram2, idxp, gramx = impl(
+            x, tuple(layers), eps, dtype, interpret, slim, axis_name)
+        return pooled, stats, p1p, p2p, gram2, idxp, gramx
+
+    fwd_sm = jax.shard_map(
+        # check_vma=False: pallas_call inside shard_map cannot declare
+        # varying-mesh-axes metadata (same as make_grouping_fn).
+        _fwd_shard, mesh=mesh,
+        in_specs=(shard, rep),
+        out_specs=(shard, rep, shard, shard, rep, shard, rep),
+        check_vma=False)
+
+    def _bwd_shard(x, p1p, p2p, gram2, idxp, gramx, layers, stats,
+                   dpooled):
+        if cf:
+            Bv, C0, S, K = x.shape
+            xf = x.astype(dtype).reshape(Bv, C0, S * K)
+        else:
+            C0 = x.shape[-1]
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            xf = x.astype(dtype).reshape(rows, C0)
+        C3 = dpooled.shape[-1]
+        return sa_backward_pair(
+            xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
+            dpooled.reshape(-1, C3), eps, dtype, interpret=interpret,
+            slim=slim, axis_name=axis_name)
+
+    bwd_sm = jax.shard_map(
+        _bwd_shard, mesh=mesh,
+        in_specs=(shard, shard, shard, rep, shard, rep, rep, rep,
+                  shard),
+        out_specs=rep,
+        check_vma=False)
+
+    def _check(x):
+        assert x.shape[0] % nsh == 0, \
+            f"pair-sharded: dim 0 ({x.shape[0]}) must divide over " \
+            f"{nsh} '{axis_name}' shards"
+        if cf:
+            assert (x.shape[0] // nsh) % 2 == 0, \
+                "pair-sharded cf: per-shard batch row count must be even"
+        else:
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            assert (rows // x.shape[-2] // nsh) % 2 == 0, \
+                "pair-sharded: per-shard pooled-row count must be even"
+
+    @jax.custom_vjp
+    def f(x, layers):
+        assert len(layers) == 3, "pair impl is specialized to L=3"
+        _check(x)
+        return fwd_sm(x, tuple(layers))[:2]
+
+    def f_fwd(x, layers):
+        layers = tuple(layers)
+        _check(x)
+        pooled, stats, p1p, p2p, gram2, idxp, gramx = fwd_sm(x, layers)
+        return (pooled, stats), (x, p1p, p2p, gram2, idxp, gramx,
+                                 layers, stats)
+
+    def f_bwd(res, cts):
+        dpooled, _ = cts      # stats cotangent ignored (state update)
+        x, p1p, p2p, gram2, idxp, gramx, layers, stats = res
+        dlayers = bwd_sm(x, p1p, p2p, gram2, idxp, gramx, layers,
+                         stats, dpooled)
+        return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

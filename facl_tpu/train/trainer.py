@@ -197,7 +197,7 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh
         if model is None:
-            self.model, self.g_cfg = resolve_model(cfg)
+            self.model, self.g_cfg = resolve_model(cfg, mesh=mesh)
         else:
             self.model, self.g_cfg = model, cfg.grouping
         self.optimizer = make_optimizer(cfg.train.optim, steps_per_epoch)

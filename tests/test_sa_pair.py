@@ -245,6 +245,61 @@ def test_train_step_channels_first_pair_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("cf", [False, True])
+@pytest.mark.parametrize("slim", [False, True])
+def test_sharded_pair_matches_unsharded(rng, cf, slim):
+    """make_sharded_pair on the 8-device CPU mesh: per-shard Pallas
+    sweeps + psum'd global BN statistics must reproduce the unsharded
+    pair values, stats, and parameter gradients."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from facl_tpu.ops.pallas.sa_pair import (make_sharded_pair,
+                                             sa_train_pair,
+                                             sa_train_pair_cf)
+
+    B, S, K, C = 16, 4, 8, 4          # per-shard 2 batch rows (even)
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    xx = jnp.transpose(x, (0, 3, 1, 2)) if cf else x
+    layers = make_layers(rng, widths, C)
+    eps = 1e-5
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()).reshape(8,), ("dp",))
+
+    f_sh = make_sharded_pair(mesh, "dp", eps, jnp.float32, slim, cf,
+                             interpret=True)
+    f_ref = sa_train_pair_cf if cf else sa_train_pair
+
+    def loss_sh(layers, xv):
+        pooled, stats = f_sh(xv, layers)
+        return (jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec),
+                stats)
+
+    def loss_ref(layers, xv):
+        pooled, stats = f_ref(xv, layers, eps, jnp.float32, True, slim)
+        return (jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec),
+                stats)
+
+    xs = jax.device_put(xx, NamedSharding(mesh, P("dp")))
+    (l_s, st_s), g_s = jax.jit(
+        jax.value_and_grad(loss_sh, has_aux=True))(layers, xs)
+    (l_r, st_r), g_r = jax.jit(
+        jax.value_and_grad(loss_ref, has_aux=True))(layers, xx)
+
+    np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-5)
+    for (ms, vs), (mr, vr) in zip(st_s, st_r):
+        np.testing.assert_allclose(np.asarray(ms), np.asarray(mr),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vr),
+                                   rtol=1e-4, atol=1e-6)
+    for ls, lr in zip(g_s, g_r):
+        for name in ("kernel", "bias", "scale", "shift"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ls, name), np.float32),
+                np.asarray(getattr(lr, name), np.float32),
+                rtol=5e-4, atol=5e-5, err_msg=f"slim={slim} {name}")
+
+
 def test_pair_rejects_odd_pooled_rows(rng):
     x = jnp.asarray(rng.normal(size=(1, 3, 8, 4)).astype(np.float32))
     layers = make_layers(rng, (8, 8, 16), 4)
