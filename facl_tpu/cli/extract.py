@@ -42,6 +42,14 @@ def main(argv=None) -> None:
     # cost 60-120 s each on remote TPU backends.
     from facl_tpu.train.trainer import make_eval_step
 
+    mesh = None
+    shard = None
+    if getattr(args, "mesh", False):
+        from facl_tpu.parallel import batch_sharding, make_mesh
+        mesh = make_mesh(cfg.mesh)
+        shard = batch_sharding(mesh, batch_axis=1)
+        log.info("mesh: dp=%d mp=%d", mesh.shape["dp"], mesh.shape["mp"])
+
     trainer = None
     eval_step = None
     restored = None
@@ -50,18 +58,21 @@ def main(argv=None) -> None:
         if len(ds) == 0:
             log.warning("empty %s split", split)
             continue
-        loader = CropLoader(ds, min(args.batch_size, len(ds)),
+        # Ragged/tail batches are padded to a shardable size by the
+        # loader (pad rows discarded at write time — keyed by names).
+        bs = min(args.batch_size, len(ds))
+        loader = CropLoader(ds, bs,
                             jax.random.PRNGKey(args.seed), shuffle=False,
-                            drop_last=False)
+                            drop_last=False, sharding=shard)
         if trainer is None:
-            trainer = Trainer(cfg, steps_per_epoch=1)
+            trainer = Trainer(cfg, steps_per_epoch=1, mesh=mesh)
             sample = next(iter(loader.epoch(0)))[0]
             state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
             restored = restore_latest(args.checkpoint, state)
             if restored is None:
                 raise SystemExit(f"no checkpoint in {args.checkpoint}")
             eval_step = make_eval_step(trainer.model, cfg,
-                                       grouping=trainer.g_cfg)
+                                       grouping=trainer.g_cfg, mesh=mesh)
         feats = extract_features(trainer.model, restored.variables, cfg,
                                  loader.epoch(0), out_dir=args.out,
                                  eval_step=eval_step)

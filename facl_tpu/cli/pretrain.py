@@ -37,6 +37,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "TPU config (~1.6x faster), float32 is strict "
                         "reference parity")
     p.add_argument("--config", help="JSON config file overriding defaults")
+    p.add_argument("--mesh", action="store_true",
+                   help="run over a device mesh (cfg.mesh: dp x mp; "
+                        "dp=-1 uses all devices). Batch is sharded over "
+                        "dp; the wide FC kernels over mp when mp>1. "
+                        "Batch size must divide by dp.")
 
 
 def build_config(args) -> Config:
@@ -77,14 +82,27 @@ def main(argv=None) -> None:
     log.info("train videos=%d steps/epoch=%d devices=%s",
              len(ds), steps_per_epoch, jax.devices())
 
+    mesh = None
+    if getattr(args, "mesh", False):
+        from facl_tpu.parallel import batch_sharding, make_mesh
+        mesh = make_mesh(cfg.mesh)
+        if args.batch_size % mesh.shape["dp"]:
+            raise SystemExit(
+                f"--mesh: batch size {args.batch_size} must divide by "
+                f"dp={mesh.shape['dp']}")
+        log.info("mesh: dp=%d mp=%d", mesh.shape["dp"], mesh.shape["mp"])
+
     key = jax.random.PRNGKey(args.seed)
-    loader = CropLoader(ds, args.batch_size, key)
+    loader = CropLoader(
+        ds, args.batch_size, key,
+        sharding=(batch_sharding(mesh, batch_axis=1)
+                  if mesh is not None else None))
 
     if cfg.model.name == "slow_fast":
         _run_slowfast(args, cfg, loader, steps_per_epoch, log)
         return
 
-    trainer = Trainer(cfg, steps_per_epoch)
+    trainer = Trainer(cfg, steps_per_epoch, mesh=mesh)
 
     sample = next(iter(loader.epoch(0)))[0]
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
@@ -96,6 +114,18 @@ def main(argv=None) -> None:
             start_epoch = int(state.step) // steps_per_epoch
             log.info("resumed at epoch %d (step %d)", start_epoch,
                      int(state.step))
+    if mesh is not None:
+        # Deterministic placement (replicated + mp-sharded FC kernels) —
+        # the step would otherwise start from whatever single-device
+        # layout init/restore produced and pay a GSPMD reshuffle.
+        from facl_tpu.parallel import param_sharding, replicated
+        state = state.replace(
+            params=jax.device_put(state.params,
+                                  param_sharding(mesh, state.params)),
+            batch_stats=jax.device_put(state.batch_stats,
+                                       replicated(mesh)),
+            swav_queue=(jax.device_put(state.swav_queue, replicated(mesh))
+                        if state.swav_queue is not None else None))
 
     for epoch in range(start_epoch, args.epochs):
         batches = (b for b, _, _ in loader.epoch(epoch))

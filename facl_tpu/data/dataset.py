@@ -167,6 +167,20 @@ class NTUPointDataset:
         return self._max_elems_cache
 
 
+def _batch_divisor(sharding) -> int:
+    """Number of shards the batch axis of a yielded (G, B, ...) crop
+    array splits into under ``sharding`` (mesh-size product of the spec
+    entry at axis 1)."""
+    spec = sharding.spec
+    if len(spec) < 2 or spec[1] is None:
+        return 1
+    names = spec[1] if isinstance(spec[1], tuple) else (spec[1],)
+    d = 1
+    for nm in names:
+        d *= sharding.mesh.shape[nm]
+    return d
+
+
 class CropLoader:
     """Iterate (10, B, N, 4) crop batches: host threads prefetch .npy
     sources, the crop factory runs on device. ``shuffle``/``drop_last``
@@ -174,13 +188,18 @@ class CropLoader:
 
     def __init__(self, dataset: NTUPointDataset, batch_size: int,
                  key: Array, shuffle: bool = True, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, sharding=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.key = key
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Optional jax.sharding.Sharding for the yielded crop batches
+        # (e.g. parallel.batch_sharding(mesh, batch_axis=1)): the crops
+        # leave the factory device-committed; re-laying them out here
+        # keeps the train step free of GSPMD resharding inserts.
+        self.sharding = sharding
 
     def _batch_indices(self, rng: np.random.Generator) -> List[List[int]]:
         order = np.arange(len(self.ds))
@@ -221,8 +240,22 @@ class CropLoader:
             if item is None:
                 break
             srcs, labels, names = item
+            if self.sharding is not None:
+                # Pad a ragged tail batch (drop_last=False) up to a
+                # shardable size by repeating clip 0 — consumers index
+                # outputs by ``names`` (len == true batch), so the pad
+                # rows are computed and discarded. Also keeps the jit
+                # shape constant (no tail-batch recompile).
+                div = _batch_divisor(self.sharding)
+                pad = (-len(names)) % div
+                if pad:
+                    srcs = jax.tree.map(
+                        lambda a: np.concatenate(
+                            [a, np.repeat(a[:1], pad, axis=0)]), srcs)
             bkey = jax.random.fold_in(ekey, i)
             crops = make_crops_batch(bkey, srcs, self.ds.cfg)
+            if self.sharding is not None:
+                crops = jax.device_put(crops, self.sharding)
             yield crops, labels, names
             i += 1
         t.join()

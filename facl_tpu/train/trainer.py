@@ -165,21 +165,23 @@ def make_train_step(model, optimizer, cfg: Config,
     return jax.jit(train_step, donate_argnums=donate_args)
 
 
-def make_eval_step(model, cfg: Config, grouping=None) -> Callable:
+def make_eval_step(model, cfg: Config, grouping=None,
+                   mesh=None) -> Callable:
     """Jit extraction step: points -> (x (G*B,D), x_global (B,D)) using
-    running BN stats (extract_*_feature.py:171-182)."""
-    g_cfg = grouping or cfg.grouping
-    gather_impl = resolve_gather_impl(g_cfg)
-    select_impl = resolve_select_impl(g_cfg)
+    running BN stats (extract_*_feature.py:171-182).
 
+    ``mesh``: shard_map the grouping over dp (same as the train step —
+    the Pallas select/gather kernels stay usable per shard); the model
+    forward itself runs under GSPMD."""
+    g_cfg = grouping or cfg.grouping
     layout = "bcsk" if cfg.model.channels_first else "bskc"
+    grouping_fn = make_grouping_fn(g_cfg, mesh, layout)
 
     def eval_step(variables, points):
         G, B, N, C = points.shape
-        flat = points.reshape(G * B, N, C)
-        neigh, cent = group_points(
-            flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
-            g_cfg.method, gather_impl, select_impl, layout)
+        neigh5, cent4 = grouping_fn(points)
+        neigh = neigh5.reshape(G * B, *neigh5.shape[2:])
+        cent = cent4.reshape(G * B, *cent4.shape[2:])
         x, code, x_nor, x_global = model.apply(
             variables, neigh, cent, train=False)
         return x, x_global

@@ -63,6 +63,41 @@ def test_pretrain_resume_extract_probe(cli_root, tiny_cfg_file, tmp_path):
                 "--appearance-features", feat, "--epochs", "3"])
 
 
+def test_pretrain_extract_mesh_cli(cli_root, tmp_path):
+    """--mesh end to end on the virtual 8-device CPU mesh (dp=2 so the
+    tiny batch shards): pretrain one epoch with the flagship pair SA
+    path per-shard under shard_map, then extract (mesh grouping +
+    ragged-tail batch padding in the loader)."""
+    import dataclasses
+
+    from facl_tpu.cli import extract, pretrain
+    from facl_tpu.config import MeshConfig
+
+    root, names = cli_root
+    cfg = Config(
+        grouping=GroupingConfig(num_centroids=8, knn_k=8, radius_sq=10.0),
+        model=ModelConfig(sa_widths=(8, 8, 16), stage2_widths=(16, 32),
+                          fc_hidden=32, embed_dim=16, num_prototypes=8,
+                          sa_impl="pair", channels_first=True),
+        mesh=MeshConfig(dp=2, mp=1),
+    )
+    cfg_path = tmp_path / "mesh_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    ck = str(tmp_path / "ck")
+    common = ["--root", root, "--stream", "motion", "--batch-size", "2",
+              "--dtype", "float32", "--config", str(cfg_path), "--mesh"]
+
+    pretrain.main(common + ["--epochs", "1", "--out", ck])
+    assert os.path.exists(os.path.join(ck, "index.json"))
+
+    feat = str(tmp_path / "feat")
+    extract.main(common + ["--checkpoint", ck, "--out", feat])
+    files = [n for n in os.listdir(feat) if n.endswith(".npy")]
+    assert len(files) == len(names)
+    f0 = np.load(os.path.join(feat, files[0]))
+    assert f0.shape == (11 * 16,)
+
+
 def test_moco_cli(cli_root, tiny_cfg_file, tmp_path):
     from facl_tpu.cli import moco
     root, names = cli_root
