@@ -51,6 +51,10 @@ def main(argv=None) -> None:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--temperature", type=float, default=1.0)
     args = p.parse_args(argv)
+    if getattr(args, "mesh", False):
+        raise SystemExit("--mesh is not supported by the MoCo trainer "
+                         "(its queue update is unvalidated under a mesh);"
+                         " use facl-pretrain --mesh")
 
     setup_logging()
     log = logging.getLogger("moco")

@@ -99,6 +99,9 @@ def main(argv=None) -> None:
                   if mesh is not None else None))
 
     if cfg.model.name == "slow_fast":
+        if mesh is not None:
+            raise SystemExit("--mesh is not supported by the slow/fast "
+                             "trainer yet; use the pointnet_plus models")
         _run_slowfast(args, cfg, loader, steps_per_epoch, log)
         return
 
@@ -115,17 +118,8 @@ def main(argv=None) -> None:
             log.info("resumed at epoch %d (step %d)", start_epoch,
                      int(state.step))
     if mesh is not None:
-        # Deterministic placement (replicated + mp-sharded FC kernels) —
-        # the step would otherwise start from whatever single-device
-        # layout init/restore produced and pay a GSPMD reshuffle.
-        from facl_tpu.parallel import param_sharding, replicated
-        state = state.replace(
-            params=jax.device_put(state.params,
-                                  param_sharding(mesh, state.params)),
-            batch_stats=jax.device_put(state.batch_stats,
-                                       replicated(mesh)),
-            swav_queue=(jax.device_put(state.swav_queue, replicated(mesh))
-                        if state.swav_queue is not None else None))
+        from facl_tpu.parallel import shard_train_state
+        state = shard_train_state(mesh, state)
 
     for epoch in range(start_epoch, args.epochs):
         batches = (b for b, _, _ in loader.epoch(epoch))

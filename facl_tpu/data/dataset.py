@@ -241,13 +241,16 @@ class CropLoader:
                 break
             srcs, labels, names = item
             if self.sharding is not None:
-                # Pad a ragged tail batch (drop_last=False) up to a
-                # shardable size by repeating clip 0 — consumers index
-                # outputs by ``names`` (len == true batch), so the pad
-                # rows are computed and discarded. Also keeps the jit
-                # shape constant (no tail-batch recompile).
+                # Pad ragged batches (a drop_last=False tail, or a batch
+                # size that doesn't divide the mesh) up to ONE constant
+                # shardable size — ceil(batch_size/div)*div — by
+                # repeating clip 0. Consumers index outputs by ``names``
+                # (len == true batch), so pad rows are computed and
+                # discarded; the constant shape avoids a tail-batch
+                # recompile (60-120 s per jit shape on remote backends).
                 div = _batch_divisor(self.sharding)
-                pad = (-len(names)) % div
+                target = -(-self.batch_size // div) * div
+                pad = target - len(names)
                 if pad:
                     srcs = jax.tree.map(
                         lambda a: np.concatenate(

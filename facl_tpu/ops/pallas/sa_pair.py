@@ -864,12 +864,22 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
     return (as_grad(lp1, t1), as_grad(lp2, t2), as_grad(lp3, t3))
 
 
-def _pair_impl(x, layers, eps, dtype, interpret, slim, axis_name=None):
-    *lead, K, C0 = x.shape
+def _xf_of(x, cf, dtype):
+    """Flatten the network input to the sweeps' row space: (Bv, C0, S*K)
+    channels-first, or (rows, C0) for any channels-last layout."""
+    if cf:
+        Bv, C0, S, K = x.shape
+        return x.astype(dtype).reshape(Bv, C0, S * K)
+    C0 = x.shape[-1]
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    xf = x.astype(dtype).reshape(rows, C0)
+    return x.astype(dtype).reshape(rows, C0)
+
+
+def _pair_impl(x, layers, eps, dtype, interpret, slim, axis_name=None):
+    *lead, K, C0 = x.shape
+    xf = _xf_of(x, False, dtype)
     pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
         xf, layers, K, eps, dtype, interpret, slim, axis_name)
     return (pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp,
@@ -906,13 +916,9 @@ def _pr_fwd(x, layers, eps, dtype, interpret, slim):
 def _pr_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
     x, p1p, p2p, gram2, idxp, gramx, layers, stats = res
-    C0 = x.shape[-1]
-    rows = 1
-    for d in x.shape[:-1]:
-        rows *= d
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x.astype(dtype).reshape(rows, C0), p1p, p2p, gram2, idxp, gramx,
+        _xf_of(x, False, dtype), p1p, p2p, gram2, idxp, gramx,
         layers, stats, dpooled.reshape(-1, C3), eps, dtype,
         interpret=interpret, slim=slim)
     return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
@@ -924,7 +930,7 @@ sa_train_pair.defvjp(_pr_fwd, _pr_bwd)
 def _pair_cf_impl(x_cf, layers, eps, dtype, interpret, slim,
                   axis_name=None):
     Bv, C0, S, K = x_cf.shape
-    x3 = x_cf.astype(dtype).reshape(Bv, C0, S * K)
+    x3 = _xf_of(x_cf, True, dtype)
     pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
         x3, layers, K, eps, dtype, interpret, slim, axis_name)
     return (pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp,
@@ -961,10 +967,9 @@ def _prcf_fwd(x_cf, layers, eps, dtype, interpret, slim):
 def _prcf_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
     x_cf, p1p, p2p, gram2, idxp, gramx, layers, stats = res
-    Bv, C0, S, K = x_cf.shape
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        x_cf.astype(dtype).reshape(Bv, C0, S * K), p1p, p2p, gram2,
+        _xf_of(x_cf, True, dtype), p1p, p2p, gram2,
         idxp, gramx, layers, stats, dpooled.reshape(-1, C3), eps, dtype,
         interpret=interpret, slim=slim)
     return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
@@ -1017,20 +1022,11 @@ def make_sharded_pair(mesh, axis_name: str, eps: float, dtype,
 
     def _bwd_shard(x, p1p, p2p, gram2, idxp, gramx, layers, stats,
                    dpooled):
-        if cf:
-            Bv, C0, S, K = x.shape
-            xf = x.astype(dtype).reshape(Bv, C0, S * K)
-        else:
-            C0 = x.shape[-1]
-            rows = 1
-            for d in x.shape[:-1]:
-                rows *= d
-            xf = x.astype(dtype).reshape(rows, C0)
         C3 = dpooled.shape[-1]
         return sa_backward_pair(
-            xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
-            dpooled.reshape(-1, C3), eps, dtype, interpret=interpret,
-            slim=slim, axis_name=axis_name)
+            _xf_of(x, cf, dtype), p1p, p2p, gram2, idxp, gramx, layers,
+            stats, dpooled.reshape(-1, C3), eps, dtype,
+            interpret=interpret, slim=slim, axis_name=axis_name)
 
     bwd_sm = jax.shard_map(
         _bwd_shard, mesh=mesh,

@@ -3,6 +3,7 @@ from facl_tpu.parallel.mesh import (
     make_mesh,
     param_sharding,
     replicated,
+    shard_train_state,
 )
 from facl_tpu.parallel.collectives import (
     cross_replica_mean,
@@ -16,6 +17,7 @@ __all__ = [
     "make_mesh",
     "param_sharding",
     "replicated",
+    "shard_train_state",
     "cross_replica_mean",
     "gather_negatives",
     "psum_grads",

@@ -46,6 +46,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_train_state(mesh: Mesh, state):
+    """Deterministic mesh placement for a TrainState-like pytree:
+    params and optimizer state under the :func:`param_sharding` rule
+    (the Adam moments mirror the params, so the same shape-based rule
+    shards them consistently with their kernels), batch_stats and the
+    SwAV queue replicated. Without this, the first jitted step starts
+    from whatever single-device layout init/restore produced and pays a
+    GSPMD reshuffle on the largest tensors."""
+    return state.replace(
+        params=jax.device_put(state.params,
+                              param_sharding(mesh, state.params)),
+        opt_state=jax.device_put(state.opt_state,
+                                 param_sharding(mesh, state.opt_state)),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        swav_queue=(jax.device_put(state.swav_queue, replicated(mesh))
+                    if state.swav_queue is not None else None))
+
+
 def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     """Sharding tree for model params: replicate everything, except shard
     the largest Dense kernels over ``mp`` when the mesh has a model axis.

@@ -68,8 +68,6 @@ def test_pretrain_extract_mesh_cli(cli_root, tmp_path):
     tiny batch shards): pretrain one epoch with the flagship pair SA
     path per-shard under shard_map, then extract (mesh grouping +
     ragged-tail batch padding in the loader)."""
-    import dataclasses
-
     from facl_tpu.cli import extract, pretrain
     from facl_tpu.config import MeshConfig
 

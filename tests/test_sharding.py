@@ -70,6 +70,43 @@ def test_mp_param_sharding_rule():
     assert shardings["sa"]["dense_0"]["kernel"].spec == P()
 
 
+def test_shard_train_state_places_opt_state():
+    """shard_train_state lays out the Adam moments with the same
+    shape-based rule as their params — an mp-sharded FC kernel's mu/nu
+    land on P(None, 'mp'), everything else replicated."""
+    import dataclasses
+
+    from facl_tpu.parallel import shard_train_state
+    from facl_tpu.train import Trainer
+
+    cfg = tiny_config()
+    # A >=512-wide FC so the mp rule has something to shard.
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, fc_hidden=512))
+    G, B, N, C = cfg.model.num_crops, 8, 32, 4
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    tr = Trainer(cfg, steps_per_epoch=10, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    placed = shard_train_state(mesh, state)
+
+    def specs(tree):
+        return {
+            jax.tree_util.keystr(path): leaf.sharding.spec
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+            if hasattr(leaf, "sharding")}
+
+    pspecs = specs(placed.params)
+    ospecs = specs(placed.opt_state)
+    sharded_params = {k for k, s in pspecs.items() if s == P(None, "mp")}
+    assert sharded_params, "expected at least one mp-sharded FC kernel"
+    for k in sharded_params:           # mu/nu paths end with the same key
+        assert any(s == P(None, "mp") and ok.endswith(k)
+                   for ok, s in ospecs.items()), k
+    for leaf in jax.tree_util.tree_leaves(placed.batch_stats):
+        assert leaf.sharding.spec == P()
+
+
 def test_mesh_aware_grouping_matches_unsharded(rng):
     """shard_map grouping (the multi-chip fast path for the Pallas gather)
     must reproduce the single-device grouping exactly."""
@@ -163,7 +200,6 @@ def test_mesh_aware_pair_sa_step_matches_unsharded(rng):
     unsharded pair step — keeping the fast kernels on multi-chip
     meshes instead of falling back to the XLA reference path."""
     import dataclasses
-    import pytest
 
     for impl in ("pair", "pair3"):
         cfg = tiny_config()
