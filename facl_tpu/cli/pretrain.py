@@ -99,9 +99,9 @@ def main(argv=None) -> None:
                   if mesh is not None else None))
 
     if cfg.model.name == "slow_fast":
-        if mesh is not None:
-            raise SystemExit("--mesh is not supported by the slow/fast "
-                             "trainer yet; use the pointnet_plus models")
+        # Plain GSPMD data parallelism: the slow/fast jit step consumes
+        # the dp-sharded batches directly (parity asserted by
+        # tests/test_sharding.py::test_slowfast_sharded_step...).
         _run_slowfast(args, cfg, loader, steps_per_epoch, log)
         return
 

@@ -245,6 +245,39 @@ def test_mesh_aware_pair_sa_step_matches_unsharded(rng):
                                        err_msg=impl)
 
 
+def test_slowfast_sharded_step_matches_unsharded(rng):
+    """The slow/fast trainer's plain GSPMD jit step handles a
+    dp-sharded batch: loss and updates match the unsharded run (the
+    same property test_sharded_step_matches_unsharded asserts for the
+    main trainer)."""
+    import dataclasses
+
+    from facl_tpu.train.slowfast_trainer import SlowFastTrainer
+    from tests.test_model import small_cfg
+
+    cfg = tiny_config()
+    cfg = cfg.replace(model=small_cfg(name="slow_fast"))
+    B, N = 8, 32
+    pts = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+
+    tr = SlowFastTrainer(cfg, steps_per_epoch=10, slow_k=16, fast_k=8)
+    s1 = tr.init_state(jax.random.PRNGKey(0), pts)
+    s1, m1 = tr.step_fn(s1, pts, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(MeshConfig(dp=8, mp=1))
+    sharded = jax.device_put(pts, NamedSharding(mesh, P("dp")))
+    s2 = tr.init_state(jax.random.PRNGKey(0), pts)
+    s2, m2 = tr.step_fn(s2, sharded, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    lr = cfg.train.optim.learning_rate
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2 * lr)
+
+
 def test_mesh_aware_grouping_fused_pallas_path(rng):
     """shard_map grouping with select/gather forced to the fused Pallas
     kernel (interpret mode on the CPU mesh) — the configuration a real
