@@ -24,7 +24,35 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast (bounded) if the accelerator backend is unreachable.
+
+    A dead remote backend (e.g. a down axon tunnel) makes the first
+    device op hang indefinitely; probing in a bounded subprocess turns
+    that into a clean nonzero exit instead of eating the caller's whole
+    time budget. Overridable with BENCH_SKIP_PROBE=1."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_SKIP_PROBE") == "1":
+        return
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8, 8)) + 1).ravel()[0]))")
+    try:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=timeout_s, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: accelerator backend unreachable (device probe hung "
+            f">{timeout_s}s) — no measurement possible")
+    except subprocess.CalledProcessError as e:
+        raise SystemExit(f"bench: device probe failed (rc={e.returncode})")
+
+
 def main() -> None:
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
