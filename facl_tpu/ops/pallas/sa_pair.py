@@ -61,6 +61,7 @@ neighborhoods are data in the training step.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -450,10 +451,16 @@ def _pick_tiles(Rh, pool, bf16, N=0):
     """Paired-row tile sizes (half the hybrid2 row counts: each paired
     row is two original rows). ``N`` (channels-first mode): the
     x-touching sweeps read (1, C0, tile) blocks of a (B, C0, N) array,
-    so their tiles must also divide N (which divides Rh)."""
-    Tl = 4096 if bf16 else 2048          # fwd layer + gram sweeps
-    Tp = 2048 if bf16 else 1024          # fwd pool sweep
-    Tb = 2048                            # bwd sweeps
+    so their tiles must also divide N (which divides Rh).
+
+    SA_PAIR_TL / SA_PAIR_TP / SA_PAIR_TB override the starting sizes
+    (trace-time read; tuning knob for device sweeps — the measured
+    defaults below win on v5e)."""
+    Tl = int(os.environ.get("SA_PAIR_TL",       # fwd layer+gram sweeps
+                            4096 if bf16 else 2048))
+    Tp = int(os.environ.get("SA_PAIR_TP",       # fwd pool sweep
+                            2048 if bf16 else 1024))
+    Tb = int(os.environ.get("SA_PAIR_TB", 2048))   # bwd sweeps
     while Rh % Tl or (N and N % Tl):
         Tl //= 2
     while Tp > pool and (Rh % Tp or Tp % pool):
