@@ -51,10 +51,6 @@ def main(argv=None) -> None:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--temperature", type=float, default=1.0)
     args = p.parse_args(argv)
-    if getattr(args, "mesh", False):
-        raise SystemExit("--mesh is not supported by the MoCo trainer "
-                         "(its queue update is unvalidated under a mesh);"
-                         " use facl-pretrain --mesh")
 
     setup_logging()
     log = logging.getLogger("moco")
@@ -64,18 +60,35 @@ def main(argv=None) -> None:
     steps_per_epoch = max(1, len(ds) // args.batch_size)
     log.info("train videos=%d steps/epoch=%d", len(ds), steps_per_epoch)
 
+    mesh = None
+    if getattr(args, "mesh", False):
+        from facl_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.mesh)
+        if args.batch_size % mesh.shape["dp"]:
+            raise SystemExit(
+                f"--mesh: batch size {args.batch_size} must divide by "
+                f"dp={mesh.shape['dp']}")
+        log.info("mesh: dp=%d mp=%d", mesh.shape["dp"], mesh.shape["mp"])
+
     key = jax.random.PRNGKey(args.seed)
     trainer = MoCoTrainer(cfg, steps_per_epoch, queue_len=args.queue_len,
                           momentum=args.momentum,
-                          temperature=args.temperature)
+                          temperature=args.temperature, mesh=mesh)
     sample = next(simclr_batches(ds, min(args.batch_size, len(ds)), key,
                                  cfg.data.num_points, 0))
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+    if mesh is not None:
+        from facl_tpu.train.moco_trainer import shard_moco_state
+        state = shard_moco_state(mesh, state)
 
     for epoch in range(args.epochs):
         losses = []
         for views in simclr_batches(ds, min(args.batch_size, len(ds)), key,
                                     cfg.data.num_points, epoch):
+            if mesh is not None:
+                from facl_tpu.parallel import batch_sharding
+                views = jax.device_put(views,
+                                       batch_sharding(mesh, batch_axis=1))
             state, m = trainer.step_fn(state, views,
                                        jax.random.fold_in(key, epoch))
             losses.append(m["loss"])

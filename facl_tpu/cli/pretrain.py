@@ -37,6 +37,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "TPU config (~1.6x faster), float32 is strict "
                         "reference parity")
     p.add_argument("--config", help="JSON config file overriding defaults")
+    from facl_tpu.models import SA_IMPLS
+    p.add_argument("--sa-impl", choices=SA_IMPLS, default=None,
+                   help="SA-stage implementation (default: keep the config "
+                        "value; the config default 'auto' picks the "
+                        "flagship paired-row Pallas path wherever it is "
+                        "GSPMD-safe — see models.resolve_model_config)")
     p.add_argument("--mesh", action="store_true",
                    help="run over a device mesh (cfg.mesh: dp x mp; "
                         "dp=-1 uses all devices). Batch is sharded over "
@@ -58,6 +64,11 @@ def build_config(args) -> Config:
     if getattr(args, "dtype", None):
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype=args.dtype))
+    if getattr(args, "sa_impl", None):
+        # Forcing the impl from the CLI re-opens channels_first to auto so
+        # the grouping layout follows the chosen path.
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, sa_impl=args.sa_impl, channels_first=None))
     return cfg
 
 

@@ -63,9 +63,15 @@ class ModelConfig:
     fast_widths1: Tuple[int, ...] = (64, 128, 256)
     fast_widths3: Tuple[int, ...] = (256, 512, 1024)
     compute_dtype: str = "float32"  # "bfloat16" for speed; params stay f32
-    # SA-stage implementation. "reference" (default) = the XLA path;
-    # "analytic" = same forward, hand-derived backward that collapses
-    # the BatchNorm-backward reductions into Gram-matrix algebra
+    # SA-stage implementation. "auto" (default) resolves at trainer-build
+    # time (models.resolve_model_config) to the flagship "pair" path
+    # wherever it is GSPMD-safe — single-device TPU, or any explicit
+    # device mesh (per-shard shard_map sweeps with psum'd global BN
+    # stats) — and to "reference" on CPU/GPU backends and in the no-mesh
+    # multi-device case (GSPMD cannot partition pallas_call).
+    # Explicit values: "reference" = the XLA path; "analytic" = same
+    # forward, hand-derived backward that collapses the
+    # BatchNorm-backward reductions into Gram-matrix algebra
     # (ops/analytic_sa.py); "hybrid" = XLA forward + 2-sweep Pallas
     # backward (ops/pallas/sa_bwd.py); "hybrid2" = Pallas forward sweeps
     # + the same backward (ops/pallas/sa_fwd.py); "pallas" opts into the
@@ -74,18 +80,17 @@ class ModelConfig:
     # full-lane-width layout (ops/pallas/sa_pair.py) — the flagship;
     # "pair3" = pair with the slim 3-sweep backward (layer-1
     # dy-contraction formed directly instead of via third-order
-    # moments). On a multi-device mesh (Trainer(..., mesh=...)) the
-    # pair/pair3 sweeps run per-shard under shard_map with global BN
-    # statistics psum'd over dp (sa_pair.make_sharded_pair). All
-    # golden-tested; measured standings in docs/DESIGN.md section 3.
-    sa_impl: str = "reference"
+    # moments). All golden-tested; measured standings in
+    # docs/DESIGN.md section 3.
+    sa_impl: str = "auto"
     # Channel-major (B, C, S, K) neighborhoods through grouping + the SA
     # stage — the fused select+gather kernel's native layout, removing
     # the full-tensor transpose between it and the paired SA sweeps.
-    # Only the sa_impl="pair"/"pair3" train paths consume it natively;
-    # other impls (and eval) transpose back, so enable it together with
-    # sa_impl="pair" (bench.py does).
-    channels_first: bool = False
+    # None (default) = auto: True exactly when the resolved sa_impl is
+    # "pair"/"pair3" (the only train paths that consume it natively);
+    # other impls (and eval) transpose back, so forcing it elsewhere is
+    # correct but wasteful.
+    channels_first: Optional[bool] = None
 
 
 @dataclass(frozen=True)

@@ -1,5 +1,6 @@
 from facl_tpu.models.layers import EmbedHead, PointMLP, l2_normalize
-from facl_tpu.models.pointnet import PointNetPlus, resolve_model
+from facl_tpu.models.pointnet import (PointNetPlus, SA_IMPLS, resolve_model,
+                                      resolve_model_config)
 from facl_tpu.models.slowfast import PointNetSlowFast
 from facl_tpu.models.probe import LinearProbe
 from facl_tpu.models import moco
@@ -10,6 +11,8 @@ __all__ = [
     "l2_normalize",
     "PointNetPlus",
     "resolve_model",
+    "resolve_model_config",
+    "SA_IMPLS",
     "PointNetSlowFast",
     "LinearProbe",
     "moco",

@@ -103,6 +103,62 @@ class PointNetPlus(nn.Module):
         return x, code, x_nor, x_global
 
 
+#: Every accepted ModelConfig.sa_impl value ("auto" resolves to one of the
+#: others via :func:`resolve_model_config`).
+SA_IMPLS = ("auto", "reference", "covar", "pallas", "analytic", "hybrid",
+            "hybrid2", "pair", "pair3")
+
+
+def resolve_model_config(model_cfg: ModelConfig, mesh=None, *,
+                         backend: str = None,
+                         n_devices: int = None) -> ModelConfig:
+    """Resolve ``sa_impl="auto"`` / ``channels_first=None`` to concrete values.
+
+    The flagship paired-row Pallas path is the default wherever it is safe;
+    the resolution is decided ONCE at trainer-build time from the mesh/config
+    (not re-probed inside traced code):
+
+    * an explicit ``sa_impl`` is always honored;
+    * ``"auto"`` resolves to ``"pair"`` on a TPU backend when single-device
+      OR when an explicit ``mesh`` is passed (the SA stage then runs
+      ``sa_pair.make_sharded_pair`` per-shard under shard_map with global,
+      psum'd BN statistics — tests/test_sharding.py);
+    * ``"auto"`` resolves to ``"reference"`` on CPU/GPU backends (the Pallas
+      kernels would run interpreted) and in the no-mesh multi-device case,
+      where GSPMD must partition the whole graph and ``pallas_call`` is a
+      single-device program;
+    * ``channels_first=None`` resolves to True exactly when the resolved
+      impl consumes the channel-major grouping layout natively
+      (``"pair"``/``"pair3"``), else False.
+
+    ``backend``/``n_devices`` default to the live JAX runtime and exist so
+    the rules are unit-testable without that runtime
+    (tests/test_sa_resolution.py).
+    """
+    import dataclasses
+
+    impl = model_cfg.sa_impl
+    if impl not in SA_IMPLS:
+        raise ValueError(f"unknown sa_impl {impl!r}; expected one of "
+                         f"{SA_IMPLS}")
+    if impl == "auto":
+        if backend is None:
+            backend = jax.default_backend()
+        if n_devices is None:
+            n_devices = len(jax.devices())
+        on_tpu = backend not in ("cpu", "gpu")   # axon counts as TPU
+        if on_tpu and (mesh is not None or n_devices == 1):
+            impl = "pair"
+        else:
+            impl = "reference"
+    cf = model_cfg.channels_first
+    if cf is None:
+        cf = impl in ("pair", "pair3")
+    if impl == model_cfg.sa_impl and cf == model_cfg.channels_first:
+        return model_cfg
+    return dataclasses.replace(model_cfg, sa_impl=impl, channels_first=cf)
+
+
 def resolve_model(cfg, mesh=None) -> Tuple[nn.Module, "GroupingConfig"]:
     """Select the encoder + its *effective* grouping from ``ModelConfig.name``.
 
@@ -125,13 +181,14 @@ def resolve_model(cfg, mesh=None) -> Tuple[nn.Module, "GroupingConfig"]:
     import dataclasses
 
     name = cfg.model.name
+    model_cfg = resolve_model_config(cfg.model, mesh=mesh)
     if name == "pointnet_plus":
-        return PointNetPlus(cfg.model, mesh=mesh), cfg.grouping
+        return PointNetPlus(model_cfg, mesh=mesh), cfg.grouping
     if name == "pointnet_plus_fine":
         g = dataclasses.replace(cfg.grouping,
                                 num_centroids=cfg.model.fine_num_centroids,
                                 knn_k=cfg.model.fine_knn_k)
-        return PointNetPlus(cfg.model, mesh=mesh), g
+        return PointNetPlus(model_cfg, mesh=mesh), g
     if name == "slow_fast":
         raise ValueError(
             "model name 'slow_fast' has a two-pathway forward; use "

@@ -195,6 +195,12 @@ class Trainer:
 
     def __init__(self, cfg: Config, steps_per_epoch: int,
                  mesh=None, model=None):
+        # Resolve sa_impl="auto"/channels_first=None ONCE here so the
+        # grouping layout, the jit step and the model all agree
+        # (models.resolve_model_config; rules in its docstring).
+        from facl_tpu.models import resolve_model_config
+        import dataclasses
+        cfg = cfg.replace(model=resolve_model_config(cfg.model, mesh=mesh))
         self.cfg = cfg
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh

@@ -135,6 +135,199 @@ def test_encoder_matches_torch_mirror(rng):
                                atol=1e-3)
 
 
+def torch_param_map(tenc, widths_sa, widths_s2):
+    """Map flax param paths -> (torch parameter, needs_transpose). Shares
+    the traversal of copy_params_to_torch so the two can't drift."""
+    m = {}
+    for i in range(len(widths_sa)):
+        m[("sa_stage", f"kernel_{i}")] = (tenc.sa[3 * i].weight, True)
+        m[("sa_stage", f"bias_{i}")] = (tenc.sa[3 * i].bias, False)
+        m[("sa_stage", f"scale_{i}")] = (tenc.sa[3 * i + 1].weight, False)
+        m[("sa_stage", f"shift_{i}")] = (tenc.sa[3 * i + 1].bias, False)
+    for i in range(len(widths_s2)):
+        m[("stage2_mlp", f"dense_{i}", "kernel")] = (
+            tenc.stage2[3 * i].weight, True)
+        m[("stage2_mlp", f"dense_{i}", "bias")] = (
+            tenc.stage2[3 * i].bias, False)
+        m[("stage2_mlp", f"BatchNorm_{i}", "scale")] = (
+            tenc.stage2[3 * i + 1].weight, False)
+        m[("stage2_mlp", f"BatchNorm_{i}", "bias")] = (
+            tenc.stage2[3 * i + 1].bias, False)
+    m[("head", "Dense_0", "kernel")] = (tenc.head[0].weight, True)
+    m[("head", "Dense_0", "bias")] = (tenc.head[0].bias, False)
+    m[("head", "BatchNorm_0", "scale")] = (tenc.head[1].weight, False)
+    m[("head", "BatchNorm_0", "bias")] = (tenc.head[1].bias, False)
+    m[("head", "Dense_1", "kernel")] = (tenc.head[3].weight, True)
+    m[("head", "Dense_1", "bias")] = (tenc.head[3].bias, False)
+    m[("mapping", "kernel")] = (tenc.mapping.weight, True)
+    return m
+
+
+def _flax_leaf(tree, path):
+    for k in path:
+        tree = tree[k]
+    return np.asarray(tree)
+
+
+def torch_global_local(x, xg):
+    """Loop-built torch mirror of the reference's global-local loss
+    (cn3d_train_apperance_GL.py:265-287): per-crop CE over
+    [pos | shared masked negative bank], summed over crops."""
+    import torch.nn.functional as F
+    G, B, D = x.shape
+    mask = 1.0 - torch.eye(B)
+    neg = torch.cat([(xg @ x[g2].T) * mask for g2 in range(G)], dim=1)
+    labels = torch.zeros(B, dtype=torch.long)
+    loss = x.new_zeros(())
+    for g in range(G):
+        pos = (xg * x[g]).sum(dim=1, keepdim=True)
+        loss = loss + F.cross_entropy(torch.cat([pos, neg], dim=1), labels)
+    return loss
+
+
+def torch_circle(x, perm):
+    """Loop-built torch mirror of the circle loss
+    (cn3d_train_apperance_GL.py:290-316): shuffled crop chain positives,
+    one shared (G-1)*G*B masked negative bank."""
+    import torch.nn.functional as F
+    G, B, D = x.shape
+    mask = 1.0 - torch.eye(B)
+    banks = []
+    for a in range(G - 1):
+        for g2 in range(G):
+            banks.append((x[perm[a]] @ x[g2].T) * mask)
+    bank = torch.cat(banks, dim=1)
+    labels = torch.zeros(B, dtype=torch.long)
+    loss = x.new_zeros(())
+    for a in range(G - 1):
+        pos = (x[perm[a]] * x[perm[a + 1]]).sum(dim=1, keepdim=True)
+        loss = loss + F.cross_entropy(torch.cat([pos, bank], dim=1), labels)
+    return loss
+
+
+def test_training_step_gradients_match_torch(rng):
+    """Gradient-level cross-framework parity (VERDICT r2 item 4): one full
+    f32 training step — forward in train mode, BOTH active losses
+    (global-local + circle with a fixed permutation,
+    cn3d_train_apperance_GL.py:265-332), backward, and one Adam update —
+    must produce the same loss scalar, the same per-parameter gradients,
+    and the same post-step parameters as the torch mirror."""
+    from facl_tpu.config import OptimConfig
+    from facl_tpu.losses import circle_infonce, global_local_infonce
+    from facl_tpu.train.optim import make_optimizer
+
+    widths_sa = (8, 16)
+    widths_s2 = (16, 32)
+    cfg = ModelConfig(sa_widths=widths_sa, stage2_widths=widths_s2,
+                      fc_hidden=24, embed_dim=12, num_prototypes=6,
+                      num_crops=4)
+    G, B, S, K = 4, 3, 8, 8
+    D = cfg.embed_dim
+    pts = jnp.asarray(rng.normal(size=(G * B, 48, 4)).astype(np.float32))
+    neigh, cent = group_points(pts, S, K, radius_sq=10.0)
+
+    model = PointNetPlus(cfg)
+    variables = model.init(jax.random.PRNGKey(0), neigh, cent, train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    ckey = jax.random.PRNGKey(7)
+    perm = np.asarray(jax.random.permutation(ckey, G))
+
+    def loss_fn(p):
+        (x, code, xn, xg), _ = model.apply(
+            {"params": p, "batch_stats": bstats},
+            neigh, cent, train=True, mutable=["batch_stats"])
+        xr = x.reshape(G, B, D)
+        return global_local_infonce(xr, xg) + circle_infonce(ckey, xr)
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(params)
+
+    tenc = build_torch_encoder(widths_sa, widths_s2, 24, 12, 6)
+    copy_params_to_torch(params, tenc, widths_sa, widths_s2)
+    tenc.train()
+    topt = torch.optim.Adam(tenc.parameters(), lr=3e-4, betas=(0.5, 0.999),
+                            eps=1e-6)
+    tx, _, _, txg = tenc(torch.from_numpy(np.asarray(neigh)),
+                         torch.from_numpy(np.asarray(cent)), G)
+    tloss = (torch_global_local(tx.reshape(G, B, D), txg)
+             + torch_circle(tx.reshape(G, B, D), perm))
+    topt.zero_grad()
+    tloss.backward()
+
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-4)
+
+    pmap = torch_param_map(tenc, widths_sa, widths_s2)
+    # A Dense bias feeding straight into BatchNorm has mathematically
+    # ZERO gradient (BN subtracts the batch mean, cancelling the bias) —
+    # both frameworks produce only round-off noise there, so assert
+    # near-zero instead of comparing noise. head/Dense_1 (post-BN) and
+    # the SA/stage2 kernels have real gradients.
+    bn_absorbed = (
+        {("sa_stage", f"bias_{i}") for i in range(len(widths_sa))}
+        | {("stage2_mlp", f"dense_{i}", "bias")
+           for i in range(len(widths_s2))}
+        | {("head", "Dense_0", "bias")})
+    gscale = max(np.abs(_flax_leaf(jgrads, p)).max() for p in pmap)
+    checked = 0
+    for path, (tparam, transpose) in pmap.items():
+        jg = _flax_leaf(jgrads, path)
+        # The loss never consumes the prototype head, so torch leaves
+        # mapping.weight.grad as None where JAX produces exact zeros.
+        tg = (np.zeros_like(jg.T if transpose else jg)
+              if tparam.grad is None else tparam.grad.detach().numpy())
+        if transpose:
+            tg = tg.T
+        if path in bn_absorbed:
+            assert np.abs(jg).max() < 1e-3 * gscale, path
+            assert np.abs(tg).max() < 1e-3 * gscale, path
+            checked += 1
+            continue
+        scale = max(np.abs(jg).max(), np.abs(tg).max(), 1e-8)
+        np.testing.assert_allclose(
+            jg / scale, tg / scale, atol=2e-4,
+            err_msg=f"grad mismatch at {'/'.join(path)} "
+                    f"(|jax|={np.linalg.norm(jg):.3e} "
+                    f"|torch|={np.linalg.norm(tg):.3e})")
+        # Per-layer grad-norm agreement (the human-readable table).
+        np.testing.assert_allclose(np.linalg.norm(jg), np.linalg.norm(tg),
+                                   rtol=1e-3, atol=1e-7,
+                                   err_msg='/'.join(path))
+        checked += 1
+    # 4 params per SA layer, 4 per stage2 layer, 6 in the head, 1 mapping.
+    assert checked == len(pmap) == 4 * len(widths_sa) + 4 * len(widths_s2) + 7
+
+    # One optimizer step: our Adam (make_optimizer at epoch 0) vs torch
+    # Adam with the reference hyper-parameters
+    # (cn3d_train_apperance_GL.py:180-181).
+    opt = make_optimizer(OptimConfig(), steps_per_epoch=10)
+    ostate = opt.init(params)
+    updates, _ = opt.update(jgrads, ostate, params)
+    import optax
+    new_params = optax.apply_updates(params, updates)
+    topt.step()
+    total = meaningful = 0
+    for path, (tparam, transpose) in pmap.items():
+        if path in bn_absorbed:
+            # Adam turns the zero-gradient noise into ~±lr sign flips;
+            # nothing to compare (and BN cancels the bias anyway).
+            continue
+        jp = _flax_leaf(new_params, path)
+        tp = tparam.detach().numpy()
+        if transpose:
+            tp = tp.T
+        # Adam's first step is ~lr*g/(|g|+eps): where |g| is round-off
+        # noise the update is an arbitrary ±lr sign, so compare only
+        # entries whose gradient is well above both frameworks' agreed
+        # noise floor (the elementwise grad check above bounds that).
+        mask = np.abs(_flax_leaf(jgrads, path)) > 1e-3
+        total += mask.size
+        meaningful += int(mask.sum())
+        if mask.any():
+            np.testing.assert_allclose(jp[mask], tp[mask], rtol=2e-3,
+                                       atol=2e-6, err_msg='/'.join(path))
+    assert meaningful > 0.5 * total, (meaningful, total)
+
+
 def test_grouping_matches_torch_selection(rng):
     """torch.topk(largest=False) + radius fixup + gather must produce the
     same neighbor multisets as our grouping."""
