@@ -67,12 +67,12 @@ def main() -> None:
     # mode; BENCH_BATCH scales the per-step videos (BASELINE config 4's
     # "large batch"); BENCH_PROFILE=<dir> captures a jax.profiler trace.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_SA_IMPL: pair (full-Pallas SA stage in the paired-row
-    # full-lane-width layout — the single-chip flagship, docs/DESIGN.md
-    # section 3) | pair3 (slim 3-sweep backward, opt-in until
-    # TPU-verified) | hybrid2 | reference (direct BN reduce; GSPMD-safe
-    # default in ModelConfig) | hybrid | analytic | covar | pallas.
-    sa_impl = os.environ.get("BENCH_SA_IMPL", "pair")
+    # BENCH_SA_IMPL: pair3 (paired-row full-lane-width layout + slim
+    # 3-sweep backward — the single-chip flagship, docs/DESIGN.md
+    # section 3; device-measured 3786 clips/s vs pair's 3285, round 3)
+    # | pair | hybrid2 | reference (direct BN reduce) | hybrid |
+    # analytic | covar | pallas.
+    sa_impl = os.environ.get("BENCH_SA_IMPL", "pair3")
     # Channel-major neighborhoods feed the paired SA sweeps transpose-
     # free (BENCH_CF=0 to disable; only meaningful with sa_impl=pair*).
     cf = os.environ.get(

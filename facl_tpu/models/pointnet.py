@@ -119,10 +119,12 @@ def resolve_model_config(model_cfg: ModelConfig, mesh=None, *,
     (not re-probed inside traced code):
 
     * an explicit ``sa_impl`` is always honored;
-    * ``"auto"`` resolves to ``"pair"`` on a TPU backend when single-device
+    * ``"auto"`` resolves to ``"pair3"`` on a TPU backend when single-device
       OR when an explicit ``mesh`` is passed (the SA stage then runs
       ``sa_pair.make_sharded_pair`` per-shard under shard_map with global,
-      psum'd BN statistics — tests/test_sharding.py);
+      psum'd BN statistics — tests/test_sharding.py). pair3 = the paired-row
+      layout with the slim 3-sweep backward — device-measured round 3 at
+      3786 clips/s full-step vs pair's 3285 (BASELINE.md measurement table);
     * ``"auto"`` resolves to ``"reference"`` on CPU/GPU backends (the Pallas
       kernels would run interpreted) and in the no-mesh multi-device case,
       where GSPMD must partition the whole graph and ``pallas_call`` is a
@@ -148,7 +150,7 @@ def resolve_model_config(model_cfg: ModelConfig, mesh=None, *,
             n_devices = len(jax.devices())
         on_tpu = backend not in ("cpu", "gpu")   # axon counts as TPU
         if on_tpu and (mesh is not None or n_devices == 1):
-            impl = "pair"
+            impl = "pair3"
         else:
             impl = "reference"
     cf = model_cfg.channels_first

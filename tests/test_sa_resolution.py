@@ -17,16 +17,16 @@ class _FakeMesh:
         self.size = size
 
 
-def test_auto_resolves_to_pair_on_single_tpu():
+def test_auto_resolves_to_pair3_on_single_tpu():
     cfg = resolve_model_config(ModelConfig(), backend="tpu", n_devices=1)
-    assert cfg.sa_impl == "pair"
+    assert cfg.sa_impl == "pair3"
     assert cfg.channels_first is True
 
 
-def test_auto_resolves_to_pair_on_axon_backend():
+def test_auto_resolves_to_pair3_on_axon_backend():
     # The tunnel backend reports "axon", not "tpu" — it must count as TPU.
     cfg = resolve_model_config(ModelConfig(), backend="axon", n_devices=1)
-    assert cfg.sa_impl == "pair"
+    assert cfg.sa_impl == "pair3"
 
 
 def test_auto_resolves_to_reference_on_cpu_gpu():
@@ -44,12 +44,12 @@ def test_auto_resolves_to_reference_for_nomesh_multidevice():
     assert cfg.sa_impl == "reference"
 
 
-def test_auto_resolves_to_pair_with_mesh():
+def test_auto_resolves_to_pair3_with_mesh():
     # An explicit mesh runs the sharded pair path (shard_map per-shard
     # sweeps with psum'd global BN stats) — safe on any mesh size.
     cfg = resolve_model_config(ModelConfig(), mesh=_FakeMesh(8),
                                backend="tpu", n_devices=8)
-    assert cfg.sa_impl == "pair"
+    assert cfg.sa_impl == "pair3"
     assert cfg.channels_first is True
 
 
