@@ -71,9 +71,13 @@ def main(argv=None) -> None:
             restored = restore_latest(args.checkpoint, state)
             if restored is None:
                 raise SystemExit(f"no checkpoint in {args.checkpoint}")
-            eval_step = make_eval_step(trainer.model, cfg,
+            # trainer.cfg, not cfg: the Trainer resolved sa_impl="auto" /
+            # channels_first=None to concrete values and the eval step's
+            # grouping layout must match the model's.
+            eval_step = make_eval_step(trainer.model, trainer.cfg,
                                        grouping=trainer.g_cfg, mesh=mesh)
-        feats = extract_features(trainer.model, restored.variables, cfg,
+        feats = extract_features(trainer.model, restored.variables,
+                                 trainer.cfg,
                                  loader.epoch(0), out_dir=args.out,
                                  eval_step=eval_step)
         log.info("%s split: wrote %d feature files to %s", split,

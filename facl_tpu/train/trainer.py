@@ -172,9 +172,19 @@ def make_eval_step(model, cfg: Config, grouping=None,
 
     ``mesh``: shard_map the grouping over dp (same as the train step —
     the Pallas select/gather kernels stay usable per shard); the model
-    forward itself runs under GSPMD."""
+    forward itself runs under GSPMD.
+
+    The grouping layout follows the MODEL's resolved config when the
+    module carries one (PointNetPlus.cfg) — callers often hold the
+    pre-resolution Config (``channels_first=None``), and deriving the
+    layout from that while the model was resolved to channel-major fed
+    the encoder transposed neighborhoods (caught by the round-3 verify
+    drive on the TPU backend, where ``sa_impl="auto"`` resolves to the
+    channel-major pair path; on CPU both resolve channels-last and the
+    mismatch is invisible)."""
     g_cfg = grouping or cfg.grouping
-    layout = "bcsk" if cfg.model.channels_first else "bskc"
+    model_cfg = getattr(model, "cfg", cfg.model)
+    layout = "bcsk" if model_cfg.channels_first else "bskc"
     grouping_fn = make_grouping_fn(g_cfg, mesh, layout)
 
     def eval_step(variables, points):

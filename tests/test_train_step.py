@@ -93,6 +93,37 @@ def test_eval_step_deterministic(rng):
     assert xg1.shape == (B, cfg.model.embed_dim)
 
 
+def test_eval_step_layout_follows_model_not_caller_cfg(rng):
+    """Regression (round-3 verify drive, TPU backend): the extract CLI
+    built make_eval_step with the PRE-resolution Config
+    (channels_first=None -> channels-last grouping) while the Trainer's
+    model had been resolved to the channel-major pair path — the encoder
+    then received transposed neighborhoods and rejected them. The eval
+    step must take its grouping layout from the model's own resolved
+    config, so a stale caller config is harmless."""
+    import dataclasses
+
+    cfg = tiny_config()
+    # A model resolved to channel-major (the reference impl transposes
+    # internally, so this runs fine on CPU).
+    cfg_cf = cfg.replace(model=dataclasses.replace(
+        cfg.model, sa_impl="reference", channels_first=True))
+    tr = Trainer(cfg_cf, steps_per_epoch=10)
+    batch = make_batch(rng)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    # Caller holds the unresolved config (channels_first=None).
+    stale = cfg.replace(model=dataclasses.replace(
+        cfg.model, sa_impl="auto", channels_first=None))
+    ev = make_eval_step(tr.model, stale)
+    x, xg = ev(state.variables, batch)
+    G, B = batch.shape[:2]
+    assert x.shape == (G * B, cfg.model.embed_dim)
+    # And it matches the correctly-built eval step exactly.
+    ev_ok = make_eval_step(tr.model, cfg_cf)
+    x2, _ = ev_ok(state.variables, batch)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
 def test_lr_schedule_matches_steplr():
     from facl_tpu.train.optim import step_decay_schedule
     cfg = OptimConfig(learning_rate=3e-4, lr_decay_epochs=4,
