@@ -23,6 +23,10 @@ def main(argv=None) -> None:
                    help="generate N synthetic videos instead of reading NTU")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip-batch", type=int, default=8,
+                   help="clips per jit program (cross-clip batched "
+                   "generation; amortizes the per-scatter dispatch floor "
+                   "— the output tree is identical for any value)")
     p.add_argument("--shard", default="0/1",
                    help="i/n: process only every n-th video starting at i "
                    "— generation is embarrassingly parallel per clip, so "
@@ -50,7 +54,8 @@ def main(argv=None) -> None:
     from facl_tpu.datagen import generate_dataset
     n = generate_dataset(args.data, args.out, cfg, seed=args.seed,
                          limit=args.limit or None,
-                         shard=shard_i, num_shards=shard_n)
+                         shard=shard_i, num_shards=shard_n,
+                         clip_batch=max(1, args.clip_batch))
     log.info("wrote %d clips to %s (shard %d/%d)", n, args.out,
              shard_i, shard_n)
 

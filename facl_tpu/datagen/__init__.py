@@ -13,7 +13,8 @@ from facl_tpu.datagen.pointize import (
     normalization_stats,
     voxels_to_points,
 )
-from facl_tpu.datagen.pipeline import ClipGenerator, generate_clip, generate_dataset
+from facl_tpu.datagen.pipeline import (ClipGenerator, generate_clip,
+                                       generate_clips, generate_dataset)
 
 __all__ = [
     "backproject",
@@ -31,5 +32,6 @@ __all__ = [
     "voxels_to_points",
     "ClipGenerator",
     "generate_clip",
+    "generate_clips",
     "generate_dataset",
 ]

@@ -16,7 +16,7 @@ import os
 import random
 import zlib
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,26 @@ def generate_clip(key: Array, frames: Array, n_frame: Array,
             "n_raw": n_raw, "n_key": n_key}
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_frames"))
+def generate_clips(keys: Array, frames: Array, n_frames: Array,
+                   cfg: DatagenConfig, max_frames: int) -> Dict[str, Array]:
+    """Cross-clip batched generation: ``generate_clip`` vmapped over a
+    leading clip axis.
+
+    keys (V, 2) PRNG keys, frames (V, F_max, H, W), n_frames (V,).
+
+    Why this exists: per clip the rank-pool loop issues ~2*F voxel
+    scatters whose cost is dominated by a per-op floor, not per-update
+    work (voxelize.py round-2 log — both in-clip reformulations measured
+    SLOWER). Batching V clips through one jit turns each of those into a
+    single batched scatter over V clips' indices, amortizing the floor;
+    per-clip semantics (and the per-clip PRNG keys) are unchanged, so a
+    batched run writes the same artifacts as V single runs.
+    """
+    fn = lambda k, f, n: generate_clip(k, f, n, cfg, max_frames)
+    return jax.vmap(fn)(keys, frames, n_frames)
+
+
 class ClipGenerator:
     """Host-side wrapper: load PNG frames, apply the K frame cap, call the
     jit pipeline. One instance per resolution (frame cap)."""
@@ -136,15 +156,10 @@ class ClipGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def from_frames(self, frames: np.ndarray,
-                    tag: Optional[str] = None) -> Dict[str, np.ndarray]:
-        """frames: (F, H, W) uint16/float raw depth frames (unmasked).
-
-        ``tag``: optional stable identity (e.g. the video name). When
-        given, all randomness (frame capping, in-clip sampling) derives
-        from (seed, tag) instead of the generator's sequential state, so
-        sharded generation (generate_dataset shard/num_shards) produces
-        the same tree as an unsharded run."""
+    def _prepare(self, frames: np.ndarray, tag: Optional[str]
+                 ) -> Tuple[np.ndarray, int, Array]:
+        """Host-side prep shared by single and batched paths: frame-cap
+        sampling + the fixed-capacity (K, H, W) buffer + the clip key."""
         F = frames.shape[0]
         K = self.max_frames
         if tag is None:
@@ -163,9 +178,47 @@ class ClipGenerator:
         buf = np.zeros((K, H, W), np.float32)
         buf[:F, :frames.shape[1], :frames.shape[2]] = \
             frames[:, :H, :W].astype(np.float32)
+        return buf, F, key
+
+    def from_frames(self, frames: np.ndarray,
+                    tag: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """frames: (F, H, W) uint16/float raw depth frames (unmasked).
+
+        ``tag``: optional stable identity (e.g. the video name). When
+        given, all randomness (frame capping, in-clip sampling) derives
+        from (seed, tag) instead of the generator's sequential state, so
+        sharded generation (generate_dataset shard/num_shards) produces
+        the same tree as an unsharded run."""
+        buf, F, key = self._prepare(frames, tag)
         out = generate_clip(key, jnp.asarray(buf),
-                            jnp.asarray(F, jnp.int32), self.cfg, K)
+                            jnp.asarray(F, jnp.int32), self.cfg,
+                            self.max_frames)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def from_frames_batch(self, frames_list: Sequence[np.ndarray],
+                          tags: Optional[Sequence[Optional[str]]] = None,
+                          pad_to: Optional[int] = None
+                          ) -> List[Dict[str, np.ndarray]]:
+        """Batched generation: V clips through ONE jit program
+        (:func:`generate_clips`) — same per-clip artifacts as V
+        ``from_frames`` calls with the same tags.
+
+        ``pad_to``: pad the batch up to this size by repeating the last
+        clip (pad outputs dropped) so a ragged tail group reuses the
+        full-size compiled program instead of recompiling."""
+        if tags is None:
+            tags = [None] * len(frames_list)
+        preps = [self._prepare(f, t) for f, t in zip(frames_list, tags)]
+        V = len(preps)
+        if pad_to is not None and pad_to > V:
+            preps = preps + [preps[-1]] * (pad_to - V)
+        bufs = np.stack([p[0] for p in preps])
+        ns = np.asarray([p[1] for p in preps], np.int32)
+        keys = jnp.stack([p[2] for p in preps])
+        out = generate_clips(keys, jnp.asarray(bufs), jnp.asarray(ns),
+                             self.cfg, self.max_frames)
+        host = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: host[k][i] for k in host} for i in range(V)]
 
     def from_dir(self, png_dir: str,
                  tag: Optional[str] = None) -> Dict[str, np.ndarray]:
@@ -179,7 +232,8 @@ class ClipGenerator:
 
 def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
                      seed: int = 0, limit: Optional[int] = None,
-                     shard: int = 0, num_shards: int = 1) -> int:
+                     shard: int = 0, num_shards: int = 1,
+                     clip_batch: int = 1) -> int:
     """Walk <data_path>/<setup>/nturgb+d_depth_masked/<video>/ and write,
     per resolution, <out_root>/Resolution{K}/{raw,others,app}/... in the
     reference's on-disk layout (generate_NTU.py:86-112). Returns the number
@@ -187,11 +241,24 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
 
     ``shard``/``num_shards``: process only videos whose index (in the
     sorted walk order) is congruent to ``shard`` mod ``num_shards`` —
-    generation is embarrassingly parallel per clip and scatter-bound on
-    one chip (voxelize.py), so the intended scale-out is one process per
-    chip/host, all writing into the same tree."""
+    generation is embarrassingly parallel per clip, so the intended
+    scale-out is one process per chip/host, all writing into the same
+    tree.
+
+    ``clip_batch``: run this many clips through one jit program
+    (:func:`generate_clips`) — amortizes the per-scatter dispatch floor
+    that dominates single-clip generation (voxelize.py). Randomness is
+    keyed per video, so the tree is identical for any clip_batch."""
     if not (0 <= shard < num_shards):
         raise ValueError(f"shard {shard} out of range for {num_shards}")
+
+    def load_frames(png_dir: str) -> np.ndarray:
+        import imageio.v2 as imageio
+        names = sorted(os.listdir(png_dir))
+        return np.stack([
+            np.asarray(imageio.imread(os.path.join(png_dir, n)))
+            for n in names])
+
     written = 0
     vid_idx = 0
     setups = sorted(os.listdir(data_path))
@@ -203,6 +270,23 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
         app_dir = os.path.join(res_dir, "app")
         for d in (raw_dir, key_dir, app_dir):
             os.makedirs(d, exist_ok=True)
+
+        def flush(group) -> int:
+            if not group:
+                return 0
+            videos, dirs = zip(*group)
+            outs = gen.from_frames_batch(
+                [load_frames(d) for d in dirs], tags=list(videos),
+                pad_to=clip_batch if len(group) < clip_batch else None)
+            for video, out in zip(videos, outs):
+                np.save(os.path.join(raw_dir, video + ".npy"), out["raw"])
+                np.save(os.path.join(key_dir, video + "_key.npy"),
+                        out["key"])
+                np.save(os.path.join(app_dir, video + "_app.npy"),
+                        out["app"])
+            return len(group)
+
+        group: List[Tuple[str, str]] = []
         for setup in setups:
             vid_root = os.path.join(data_path, setup, "nturgb+d_depth_masked")
             if not os.path.isdir(vid_root):
@@ -211,12 +295,17 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
                 vid_idx += 1
                 if (vid_idx - 1) % num_shards != shard:
                     continue
-                out = gen.from_dir(os.path.join(vid_root, video),
-                                   tag=video)
-                np.save(os.path.join(raw_dir, video + ".npy"), out["raw"])
-                np.save(os.path.join(key_dir, video + "_key.npy"), out["key"])
-                np.save(os.path.join(app_dir, video + "_app.npy"), out["app"])
-                written += 1
-                if limit and written >= limit:
-                    return written
+                group.append((video, os.path.join(vid_root, video)))
+                at_limit = limit and written + len(group) >= limit
+                if len(group) >= max(1, clip_batch) or at_limit:
+                    if at_limit:
+                        group = group[:limit - written]
+                    written += flush(group)
+                    group = []
+                    if limit and written >= limit:
+                        return written
+        written += flush(group)
+        group = []
+        if limit and written >= limit:
+            return written
     return written
