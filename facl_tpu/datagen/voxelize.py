@@ -13,17 +13,24 @@ The 3^3 density denoise (generate_NTU.py:277-296) is a valid-mode box
 convolution.
 
 Round-2 perf note: the per-frame loop (~120 scatters, ~550 ms/clip
-isolated) was attacked twice and BOTH reformulations measured slower on
-device, so it stays:
+isolated) was attacked twice and BOTH in-clip reformulations measured
+slower on device, so it stays:
 - one-shot sort + (13M, 5)-wide scatter-add: 1017 ms — XLA lowers wide
   scatter-adds at ~14 ns per SCALAR update;
 - frame-blocked scatter-max (one (2*kb*V,) scatter per kb-frame block):
   601 ms — in-loop scatter-max runs ~3x slower per update than the same
   op standalone, and the block-coefficient einsum lowers to a while
   loop.
-Generation is embarrassingly parallel per clip — scale it over
-chips/hosts, not inside the clip (ROADMAP). tests/test_datagen.py's
-rank_pool loop-oracle pins the exact semantics for future attempts.
+
+Round-3: the CROSS-clip axis (the one untried direction) works —
+vmapping V clips through one jit (pipeline.generate_clips) turns each
+per-frame scatter into a batched scatter over V clips' indices. Device
+measurements (full NTU shape, 60 frames x 424x512, one v5e):
+single 561-588 ms/clip; V=4 -> 344 ms/clip (1.7x); V=8 -> 363 (1.55x);
+V=16 -> 390 (1.44x) — the dispatch floor amortizes but per-update cost
+grows past V=4, so the generate CLI defaults to --clip-batch 4.
+tests/test_datagen.py's rank_pool loop-oracle + the batched==single
+parity tests pin the exact semantics.
 """
 from __future__ import annotations
 

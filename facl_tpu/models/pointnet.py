@@ -12,15 +12,27 @@ TPU-native re-design of the reference encoders (cn3d_model_conbag.py):
   the reference split between ``group_points_3DV`` and the nn.Module.
 
 Layout: channels-last throughout. Inputs:
-  neighborhoods: (G*B, S, K, C)   — crop-major flattening, crop g of video b
-                                     sits at row g*B + b (matching the
-                                     reference's reshape at
-                                     cn3d_train_apperance_GL.py:224-226).
-  centers:       (G*B, S, 3)
+  neighborhoods: (B*G, S, K, C)   — BATCH-major flattening: crop g of video
+                                     b sits at row b*G + g. The reference
+                                     flattens crop-major (g*B + b,
+                                     cn3d_train_apperance_GL.py:224-226);
+                                     the row set — and therefore the BN
+                                     statistics, per-row outputs, and
+                                     per-video pools — is identical, but
+                                     batch-major keeps every merge/split of
+                                     the row axis GSPMD-representable when
+                                     the batch is sharded over dp: the
+                                     sharded factor is the MAJOR factor of
+                                     the merged dim, so the neighborhood
+                                     tensor never needs a cross-device
+                                     redistribution (ROADMAP item 7;
+                                     asserted by tests/test_sharding.py's
+                                     HLO collective scan).
+  centers:       (B*G, S, 3)
 
 The "global" branch max-pools the stage-2 features over all G crops of a
-video jointly (cn3d_model_conbag.py:225-226): reshape (G, B, S, F) ->
-(B, G*S, F) -> max over G*S.
+video jointly (cn3d_model_conbag.py:225-226) — with batch-major rows that
+is a pure reshape (B, G*S, F) -> max over G*S, no transpose at all.
 """
 from __future__ import annotations
 
@@ -64,9 +76,10 @@ class PointNetPlus(nn.Module):
     def __call__(self, neighborhoods: Array, centers: Array,
                  train: bool = True) -> Tuple[Array, Array, Array, Array]:
         """Returns (x, code, x_nor, x_global):
-          x        (G*B, D)  per-crop embedding
-          code     (G*B, P)  prototype logits of the normalized embedding
-          x_nor    (G*B, D)  L2-normalized x
+          x        (B*G, D)  per-crop embedding (batch-major rows, see
+                             module docstring)
+          code     (B*G, P)  prototype logits of the normalized embedding
+          x_nor    (B*G, D)  L2-normalized x
           x_global (B, D)    per-video global embedding
         """
         G = self.cfg.num_crops
@@ -88,9 +101,11 @@ class PointNetPlus(nn.Module):
 
         x = jnp.max(local_feat, axis=1)                            # (GB,1024)
 
-        # Global branch: joint max over all crops of the same video.
-        gfeat = local_feat.reshape(G, B, S, local_feat.shape[-1])
-        gfeat = jnp.moveaxis(gfeat, 0, 1).reshape(B, G * S, -1)
+        # Global branch: joint max over all crops of the same video. With
+        # batch-major rows a video's G crops are contiguous, so this is a
+        # pure reshape — and when rows are dp-sharded the split keeps B
+        # sharded with no data movement.
+        gfeat = local_feat.reshape(B, G * S, local_feat.shape[-1])
         x_global = jnp.max(gfeat, axis=1)                          # (B,1024)
 
         x = self.head(x, train=train)                              # (GB,D)

@@ -218,7 +218,17 @@ def _rows_per_block(B: int, S: int, N: int, gather_channels: int = 0) -> int:
     """Largest power-of-two batch-rows-per-grid-step that divides B and
     keeps the stacked (rb*S, N) working set comfortably inside VMEM
     (~6 live f32 tiles, ~2 more per gathered channel, + the (N, N) bf16
-    triangular)."""
+    triangular). ``SELECT_RB`` env forces a value (device tile sweeps);
+    at the reference workload the heuristic lands on rb=4 for the fused
+    select+gather (14 tiles) and rb=8 for select-only."""
+    import os
+
+    forced = os.environ.get("SELECT_RB")
+    if forced:
+        rb = int(forced)
+        if B % rb:
+            raise ValueError(f"SELECT_RB={rb} must divide batch {B}")
+        return rb
     budget = 10 * 1024 * 1024 - 2 * N * N
     tiles = 6 + 2 * gather_channels
     rb = 8
@@ -273,15 +283,26 @@ def _select_gather(points: Array, num_centroids: int, knn_k: int,
 
     Returns (grouped (B, S, K, C) f32 — NOT re-centered, idx (B, S, K)).
     """
+    import os
+
     B, N, C = points.shape
     S, K = num_centroids, knn_k
     pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)   # (B, C, N)
     radius = jnp.asarray(radius_sq, jnp.float32).reshape(1, 1)
     rb = _rows_per_block(B, S, N, gather_channels=C)
 
+    # SELECT_VMEM_MB: raise Mosaic's scoped-VMEM cap for SELECT_RB sweeps
+    # (the rb=8 fused working set exceeds the default budget).
+    vmem_mb = int(os.environ.get("SELECT_VMEM_MB", "0"))
+    kwargs = {}
+    if vmem_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
     idx, grouped_t = pl.pallas_call(
         _make_select_kernel(rb, S, K, N, 16, gather_channels=C),
         grid=(B // rb,),
+        **kwargs,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),

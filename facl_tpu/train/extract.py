@@ -21,15 +21,17 @@ Array = jax.Array
 
 def features_from_outputs(x: np.ndarray, x_global: np.ndarray,
                           num_crops: int) -> np.ndarray:
-    """(G*B, D) + (B, D) -> (B, (G+1)*D): per-video crop embeddings in crop
-    order followed by the global embedding — the semantics of
-    ``cat([x, x_global])`` + ``save_single_feature``'s reshape
-    (extract_apperance_feature.py:182, :217-221)."""
+    """(B*G, D) batch-major + (B, D) -> (B, (G+1)*D): per-video crop
+    embeddings in crop order followed by the global embedding — the
+    semantics of ``cat([x, x_global])`` + ``save_single_feature``'s
+    reshape (extract_apperance_feature.py:182, :217-221). The eval step
+    emits batch-major rows (models/pointnet.py), so a video's crops are
+    already contiguous: one reshape + one concat."""
     GB, D = x.shape
     B = GB // num_crops
-    per_crop = x.reshape(num_crops, B, D)
-    stacked = np.concatenate([per_crop, x_global[None]], axis=0)  # (G+1,B,D)
-    return np.moveaxis(stacked, 0, 1).reshape(B, (num_crops + 1) * D)
+    per_crop = x.reshape(B, num_crops, D)
+    stacked = np.concatenate([per_crop, x_global[:, None]], axis=1)
+    return stacked.reshape(B, (num_crops + 1) * D)
 
 
 def extract_features(model, variables, cfg: Config,

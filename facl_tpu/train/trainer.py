@@ -32,8 +32,14 @@ from facl_tpu.train.state import TrainState
 Array = jax.Array
 
 
-def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc") -> Callable:
-    """Grouping over a (G, B, N, C) batch.
+def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc",
+                     batch_axis: int = 1) -> Callable:
+    """Grouping over a 4-D batch of point clouds.
+
+    ``batch_axis`` names the dp-sharded axis: 1 for (V, B, N, C)
+    view-major batches (MoCo's 2-view input), 0 for (B, G, N, C)
+    batch-major crop batches (the contrastive trainer — batch-major keeps
+    the (B*G) row merge GSPMD-representable, see models/pointnet.py).
 
     Single device: plain group_points (Pallas gather on TPU). With a
     multi-device ``mesh``: shard_map over the batch axis — grouping is
@@ -46,16 +52,18 @@ def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc") -> Callable:
     ops.grouping.group_points)."""
     def group4d(points4d, gather_impl=g_cfg.gather_impl,
                 select_impl=g_cfg.select_impl):
-        G, B, N, C = points4d.shape
-        flat = points4d.reshape(G * B, N, C)
+        A0, A1, N, C = points4d.shape
+        flat = points4d.reshape(A0 * A1, N, C)
         neigh, cent = group_points(
             flat, g_cfg.num_centroids, g_cfg.knn_k, g_cfg.radius_sq,
             g_cfg.method, gather_impl, select_impl, layout)
-        return (neigh.reshape(G, B, *neigh.shape[1:]),
-                cent.reshape(G, B, -1, 3))
+        return (neigh.reshape(A0, A1, *neigh.shape[1:]),
+                cent.reshape(A0, A1, -1, 3))
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
+
+        spec = P("dp") if batch_axis == 0 else P(None, "dp")
 
         def grouped(points4d):
             # check_vma=False: pallas_call inside shard_map cannot declare
@@ -65,8 +73,8 @@ def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc") -> Callable:
             # nothing here.
             out = jax.shard_map(
                 group4d, mesh=mesh,
-                in_specs=P(None, "dp"),
-                out_specs=(P(None, "dp"), P(None, "dp")),
+                in_specs=spec,
+                out_specs=(spec, spec),
                 check_vma=False,
             )(points4d)
             return out
@@ -90,18 +98,27 @@ def make_train_step(model, optimizer, cfg: Config,
     g_cfg = grouping or cfg.grouping
     l_cfg = cfg.loss
     layout = "bcsk" if cfg.model.channels_first else "bskc"
-    grouping_fn = make_grouping_fn(g_cfg, mesh, layout)
+    grouping_fn = make_grouping_fn(g_cfg, mesh, layout, batch_axis=0)
 
     def loss_fn(params, batch_stats, points, key, epoch, swav_queue):
         G, B, N, C = points.shape
-        neigh5, cent4 = grouping_fn(points)
-        neigh = neigh5.reshape(G * B, *neigh5.shape[2:])
-        cent = cent4.reshape(G * B, *cent4.shape[2:])
+        # Batch-major from here on: (B, G, ...) so every merge/split of
+        # the row axis keeps the dp-sharded B as the MAJOR factor —
+        # GSPMD-representable, no redistribution of the big neighborhood
+        # tensor (models/pointnet.py docstring; ROADMAP item 7). The
+        # transpose itself touches only the (G, B, N, C) points (~10 MB
+        # at the reference workload) and is sharding-preserving.
+        points_bm = jnp.swapaxes(points, 0, 1)               # (B, G, N, C)
+        neigh5, cent4 = grouping_fn(points_bm)
+        neigh = neigh5.reshape(B * G, *neigh5.shape[2:])
+        cent = cent4.reshape(B * G, *cent4.shape[2:])
         (x, code, x_nor, x_global), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             neigh, cent, train=True, mutable=["batch_stats"])
 
-        xg = x.reshape(G, B, -1)
+        # The losses consume crop-major (G, B, D) — transposing at the
+        # embedding level is (G*B, D) small, unlike the neighborhoods.
+        xg = jnp.swapaxes(x.reshape(B, G, -1), 0, 1)
         metrics = {}
         loss = jnp.zeros((), jnp.float32)
 
@@ -117,8 +134,8 @@ def make_train_step(model, optimizer, cfg: Config,
 
         new_queue = swav_queue
         if l_cfg.use_swav:
-            code_g = code.reshape(G, B, -1)
-            xn_g = x_nor.reshape(G, B, -1)
+            code_g = jnp.swapaxes(code.reshape(B, G, -1), 0, 1)
+            xn_g = jnp.swapaxes(x_nor.reshape(B, G, -1), 0, 1)
             w = params["mapping"]["kernel"]          # (D, P)
             queue_on = jnp.logical_and(
                 epoch >= l_cfg.swav_queue_start_epoch,
@@ -137,7 +154,7 @@ def make_train_step(model, optimizer, cfg: Config,
             metrics["loss_swav"] = lswa
             loss = loss + l_cfg.swav_weight * lswa
         if l_cfg.use_cld:
-            xn_g = x_nor.reshape(G, B, -1)
+            xn_g = jnp.swapaxes(x_nor.reshape(B, G, -1), 0, 1)
             lcld = cld_loss(xn_g, temp=l_cfg.cld_temp,
                             num_clusters=l_cfg.cld_clusters,
                             num_iters=l_cfg.cld_kmeans_iters)
@@ -167,8 +184,8 @@ def make_train_step(model, optimizer, cfg: Config,
 
 def make_eval_step(model, cfg: Config, grouping=None,
                    mesh=None) -> Callable:
-    """Jit extraction step: points -> (x (G*B,D), x_global (B,D)) using
-    running BN stats (extract_*_feature.py:171-182).
+    """Jit extraction step: points (G,B,N,C) -> (x (B*G,D) batch-major,
+    x_global (B,D)) using running BN stats (extract_*_feature.py:171-182).
 
     ``mesh``: shard_map the grouping over dp (same as the train step —
     the Pallas select/gather kernels stay usable per shard); the model
@@ -185,13 +202,14 @@ def make_eval_step(model, cfg: Config, grouping=None,
     g_cfg = grouping or cfg.grouping
     model_cfg = getattr(model, "cfg", cfg.model)
     layout = "bcsk" if model_cfg.channels_first else "bskc"
-    grouping_fn = make_grouping_fn(g_cfg, mesh, layout)
+    grouping_fn = make_grouping_fn(g_cfg, mesh, layout, batch_axis=0)
 
     def eval_step(variables, points):
         G, B, N, C = points.shape
-        neigh5, cent4 = grouping_fn(points)
-        neigh = neigh5.reshape(G * B, *neigh5.shape[2:])
-        cent = cent4.reshape(G * B, *cent4.shape[2:])
+        points_bm = jnp.swapaxes(points, 0, 1)               # (B, G, N, C)
+        neigh5, cent4 = grouping_fn(points_bm)
+        neigh = neigh5.reshape(B * G, *neigh5.shape[2:])
+        cent = cent4.reshape(B * G, *cent4.shape[2:])
         x, code, x_nor, x_global = model.apply(
             variables, neigh, cent, train=False)
         return x, x_global
@@ -225,7 +243,7 @@ class Trainer:
     def init_state(self, rng: Array, sample_points: Array) -> TrainState:
         """sample_points: (G, B, N, C) — used for shape inference only."""
         G, B, N, C = sample_points.shape
-        flat = sample_points.reshape(G * B, N, C)
+        flat = jnp.swapaxes(sample_points, 0, 1).reshape(B * G, N, C)
         neigh, cent = group_points(
             flat, self.g_cfg.num_centroids, self.g_cfg.knn_k,
             self.g_cfg.radius_sq, self.g_cfg.method,

@@ -46,7 +46,9 @@ def test_cli_build_config():
 def test_features_from_outputs_layout(rng):
     """Per-video feature = [crop0 .. crop9, global] concatenated — the
     reference's cat + reshape(11,B,512).transpose(1,0,2) order
-    (extract_apperance_feature.py:182,217-221)."""
+    (extract_apperance_feature.py:182,217-221). The eval step emits
+    batch-major rows (crop g of video b at row b*G+g,
+    models/pointnet.py), and the on-disk per-video layout is unchanged."""
     G, B, D = 3, 2, 4
     x = rng.normal(size=(G * B, D)).astype(np.float32)
     xg = rng.normal(size=(B, D)).astype(np.float32)
@@ -55,7 +57,7 @@ def test_features_from_outputs_layout(rng):
     for b in range(B):
         for g in range(G):
             np.testing.assert_array_equal(f[b, g * D:(g + 1) * D],
-                                          x[g * B + b])
+                                          x[b * G + g])
         np.testing.assert_array_equal(f[b, G * D:], xg[b])
 
 

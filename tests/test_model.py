@@ -58,13 +58,14 @@ def test_global_branch_pools_over_crops(rng):
 
     _, _, _, xg = run(neigh, cent)
 
-    # Permute the crops (blocks of B) — x_global must be unchanged.
+    # Permute each video's crops (rows are batch-major: video b's crops
+    # are rows b*G..b*G+G-1) — x_global must be unchanged.
     S, K, C = neigh.shape[1:]
-    n4 = neigh.reshape(G, B, S, K, C)
-    c4 = cent.reshape(G, B, S, 3)
+    n4 = neigh.reshape(B, G, S, K, C)
+    c4 = cent.reshape(B, G, S, 3)
     perm = np.array([2, 0, 3, 1])
-    _, _, _, xg_perm = run(n4[perm].reshape(G * B, S, K, C),
-                           c4[perm].reshape(G * B, S, 3))
+    _, _, _, xg_perm = run(n4[:, perm].reshape(G * B, S, K, C),
+                           c4[:, perm].reshape(G * B, S, 3))
     # f32 reduction-order noise through BN amplifies to ~2e-4.
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xg_perm), atol=2e-3)
 

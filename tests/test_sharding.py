@@ -52,10 +52,20 @@ def test_sharded_step_matches_unsharded(rng):
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=2e-4)
+    # Post-Adam params: the batch-major step is GENUINELY sharded (no
+    # hidden neighborhood all-gather — test_no_neighborhood_collectives_
+    # in_sharded_step), so BN/grad all-reduce orders differ from the
+    # unsharded run by float epsilon, and Adam's first step turns
+    # noise-level gradients into ~+-lr sign flips. Bound by 2*lr, the
+    # same documented bar as test_mesh_aware_pair_sa_step_matches_
+    # unsharded. (Before batch-major this test held atol=5e-5 — only
+    # because GSPMD replicated the whole batch per device, making the
+    # "sharded" run bitwise-identical compute.)
+    lr = cfg.train.optim.learning_rate
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-5)
+                                   rtol=5e-3, atol=2 * lr)
 
 
 def test_mp_param_sharding_rule():
@@ -187,10 +197,14 @@ def test_mesh_aware_trainer_step(rng):
 
     np.testing.assert_allclose(float(m0["loss"]), float(mm["loss"]),
                                rtol=2e-4)
+    # Same 2*lr post-Adam bound as test_sharded_step_matches_unsharded
+    # (genuinely sharded reduces differ by float epsilon; Adam's first
+    # step amplifies noise-level gradients to +-lr sign flips).
+    lr = cfg.train.optim.learning_rate
     for a, b in zip(jax.tree_util.tree_leaves(s0.params),
                     jax.tree_util.tree_leaves(sm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-5)
+                                   rtol=5e-3, atol=2 * lr)
 
 
 def test_mesh_aware_pair_sa_step_matches_unsharded(rng):
@@ -319,6 +333,68 @@ def test_moco_sharded_step_matches_unsharded(rng):
                     jax.tree_util.tree_leaves(sm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2 * lr)
+
+
+def _collective_shapes(hlo_text):
+    """(op_kind, shape dims) for every collective result in an HLO dump
+    (tuple-shaped results contribute one entry per member)."""
+    import re
+
+    out = []
+    for line in hlo_text.splitlines():
+        m = re.search(
+            r"=\s*(?:\(([^)]*)\)|\w+\[([0-9,]*)\])\S*\s+"
+            r"(all-to-all|all-gather|collective-permute|all-reduce)\(",
+            line)
+        if not m:
+            continue
+        kind = m.group(3)
+        if m.group(1) is not None:          # tuple-shaped result
+            dims = [tuple(int(d) for d in s.split(",") if d)
+                    for s in re.findall(r"\[([0-9,]*)\]", m.group(1))]
+        else:
+            dims = [tuple(int(d) for d in m.group(2).split(",") if d)]
+        out.extend((kind, d) for d in dims)
+    return out
+
+
+def test_no_neighborhood_collectives_in_sharded_step(rng):
+    """Batch-major rows (ROADMAP item 7 / VERDICT r2 item 5): with the
+    dp-sharded batch entering as (G, B@dp, N, C), every merge/split of
+    the row axis keeps the sharded B as the major factor, so GSPMD never
+    has to redistribute the big grouped tensors. Assert it on the
+    compiled HLO by SIZE: every collective result must be far smaller
+    than one per-device neighborhood shard. The legitimate collectives —
+    loss-logit reshards, negative all-gathers, grad/BN all-reduces — are
+    all embedding-level (<= ~1k elements at this config); the crop-major
+    layout's hidden neighborhood all-gather was a full-tensor
+    (B*G*S*K*C) transfer per step."""
+    import dataclasses
+
+    cfg = tiny_config()
+    # Widen the size gap between neighborhoods and embeddings: S=K=16
+    # puts one neighborhood shard at 4096 elements while the largest
+    # embedding-level collective stays under ~1k.
+    cfg = cfg.replace(
+        grouping=GroupingConfig(num_centroids=16, knn_k=16, radius_sq=10.0))
+    G, B, N, C = cfg.model.num_crops, 8, 64, 4
+    n_dev = 8
+    batch = jnp.asarray(rng.normal(size=(G, B, N, C)).astype(np.float32))
+    mesh = make_mesh(MeshConfig(dp=n_dev, mp=1))
+    trm = Trainer(cfg, steps_per_epoch=10, mesh=mesh)
+    sm = trm.init_state(jax.random.PRNGKey(0), batch)
+    sharded = jax.device_put(batch, NamedSharding(mesh, P(None, "dp")))
+    compiled = trm.step_fn.lower(sm, sharded, jax.random.PRNGKey(1),
+                                 jnp.asarray(0)).compile()
+    colls = _collective_shapes(compiled.as_text())
+    assert colls, "expected at least the gradient all-reduces"
+    shard_elems = (B // n_dev) * G * 16 * 16 * C          # 4096
+    limit = shard_elems // 2
+    big = [(k, d) for k, d in colls
+           if int(np.prod(d or (1,))) > limit]
+    assert not big, (
+        f"collectives moving >= half a neighborhood shard ({limit} "
+        f"elements) in the sharded step: {big}\n(all: {colls})")
 
 
 def test_mesh_aware_grouping_fused_pallas_path(rng):

@@ -50,6 +50,10 @@ def build_torch_encoder(widths_sa, widths_s2, fc_hidden, embed_dim,
             self.mapping = nn.Linear(embed_dim, n_protos, bias=False)
 
         def forward(self, neigh, cent, G):
+            # Batch-major rows (crop g of video b at row b*G+g), matching
+            # facl_tpu.models.pointnet — the global pool is then a pure
+            # reshape, same per-video crop sets as the reference's
+            # crop-major form.
             GB, S, K, C = neigh.shape
             h = self.sa(neigh.reshape(-1, C)).reshape(GB, S, K, -1)
             h = h.max(dim=2).values
@@ -57,8 +61,7 @@ def build_torch_encoder(widths_sa, widths_s2, fc_hidden, embed_dim,
             local = self.stage2(h.reshape(GB * S, -1)).reshape(GB, S, -1)
             x = local.max(dim=1).values
             B = GB // G
-            gfeat = local.reshape(G, B, S, -1).permute(1, 0, 2, 3)
-            xg = gfeat.reshape(B, G * S, -1).max(dim=1).values
+            xg = local.reshape(B, G * S, -1).max(dim=1).values
             x = self.head(x)
             xg = self.head(xg)
             xn = torch.nn.functional.normalize(x, p=2, dim=1)
@@ -237,7 +240,8 @@ def test_training_step_gradients_match_torch(rng):
         (x, code, xn, xg), _ = model.apply(
             {"params": p, "batch_stats": bstats},
             neigh, cent, train=True, mutable=["batch_stats"])
-        xr = x.reshape(G, B, D)
+        # Batch-major rows -> the losses' crop-major (G, B, D) view.
+        xr = jnp.swapaxes(x.reshape(B, G, D), 0, 1)
         return global_local_infonce(xr, xg) + circle_infonce(ckey, xr)
 
     jloss, jgrads = jax.value_and_grad(loss_fn)(params)
@@ -249,8 +253,8 @@ def test_training_step_gradients_match_torch(rng):
                             eps=1e-6)
     tx, _, _, txg = tenc(torch.from_numpy(np.asarray(neigh)),
                          torch.from_numpy(np.asarray(cent)), G)
-    tloss = (torch_global_local(tx.reshape(G, B, D), txg)
-             + torch_circle(tx.reshape(G, B, D), perm))
+    txr = tx.reshape(B, G, D).permute(1, 0, 2)
+    tloss = torch_global_local(txr, txg) + torch_circle(txr, perm)
     topt.zero_grad()
     tloss.backward()
 

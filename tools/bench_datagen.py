@@ -24,8 +24,8 @@ def synth_frames(V, F, H, W, seed=0):
     frames = np.zeros((V, F, H, W), np.float32)
     for v in range(V):
         for f in range(F):
-            cy = 100 + 3 * f + 5 * v
-            cx = 150 + 4 * f
+            cy = min(100 + 3 * f + 5 * v, H - 121)
+            cx = min(150 + 4 * f, W - 81)
             frames[v, f, cy:cy + 120, cx:cx + 80] = rng.uniform(
                 900, 1400, size=(120, 80))
     return frames
