@@ -22,13 +22,18 @@ slower on device, so it stays:
   op standalone, and the block-coefficient einsum lowers to a while
   loop.
 
-Round-3: the CROSS-clip axis (the one untried direction) works —
-vmapping V clips through one jit (pipeline.generate_clips) turns each
-per-frame scatter into a batched scatter over V clips' indices. Device
-measurements (full NTU shape, 60 frames x 424x512, one v5e):
-single 561-588 ms/clip; V=4 -> 344 ms/clip (1.7x); V=8 -> 363 (1.55x);
-V=16 -> 390 (1.44x) — the dispatch floor amortizes but per-update cost
-grows past V=4, so the generate CLI defaults to --clip-batch 4.
+Round-3: two stacked wins (device measurements, full NTU shape,
+60 frames x 424x512, one v5e; baseline single 561-588 ms/clip):
+- CROSS-clip batching (the untried axis) — vmapping V clips through one
+  jit (pipeline.generate_clips) turns each per-frame scatter into a
+  batched scatter over V clips' indices: V=4 -> 344 ms/clip (1.7x);
+  V=8 -> 363; V=16 -> 390. The CLI defaults to --clip-batch 4.
+- Raw+key scatter merge — one stacked (2, *grid) scatter per frame
+  instead of two: single 500 ms/clip, and with V=4 batching
+  **337 ms/clip (~1.7x overall)**. Pushing the merge to 4 frames
+  (8 planes/scatter) regresses (545 ms) — past ~2 planes the
+  per-update cost grows faster than the dispatch floor amortizes,
+  the same failure mode as the round-2 frame-blocked attempt.
 tests/test_datagen.py's rank_pool loop-oracle + the batched==single
 parity tests pin the exact semantics.
 """
@@ -113,21 +118,49 @@ def rank_pool(frames_pts: Array, frames_valid: Array, key_pts: Array,
                          2.0 * jnp.arange(frames_pts.shape[0], dtype=jnp.float32)
                          - n_frame.astype(jnp.float32) + 1.0, 0.0)
 
-    def body(f, carry):
+    # Scatter cost is dominated by a per-op dispatch floor (module
+    # docstring), so the loop merges FM frames x 2 grids into ONE
+    # stacked scatter per iteration: plane 2j is frame (i*FM+j)'s raw
+    # occupancy, plane 2j+1 its key occupancy; slices of the stacked
+    # result are exactly the per-frame grids, and per-frame coefficient
+    # weighting happens outside the scatter, so semantics are unchanged
+    # (pinned by the rank_pool loop-oracle test). Per-frame occupancy
+    # dedupe is preserved because planes are disjoint scatter targets.
+    # Device-measured (full NTU shape, one v5e): FM=1 (raw+key merge
+    # only) 561 -> 500 ms/clip; FM=4 (8 planes/scatter) REGRESSES to
+    # 545 — past ~2 planes the per-update cost grows faster than the
+    # dispatch floor amortizes, the same failure mode as round 2's
+    # frame-blocked attempt. FM stays 1.
+    F = frames_pts.shape[0]
+    FM = 1
+
+    def body(i, carry):
         di, dk = carry
-        idx, v = voxel_indices(frames_pts[f], frames_valid[f], origin,
-                               cfg.voxel_size, gs)
-        occ = scatter_occupancy(idx, v, gs)
-        di = di + coef[:, f][:, None, None, None] * occ[None]
-        kidx, kv = voxel_indices(key_pts[f], key_valid[f], origin,
-                                 cfg.voxel_size, gs)
-        kocc = scatter_occupancy(kidx, kv, gs)
-        dk = dk + coef_key[f] * kocc
+        idxs, vals = [], []
+        for j in range(FM):
+            f = i * FM + j
+            idx, v = voxel_indices(frames_pts[f], frames_valid[f], origin,
+                                   cfg.voxel_size, gs)
+            kidx, kv = voxel_indices(key_pts[f], key_valid[f], origin,
+                                     cfg.voxel_size, gs)
+            idxs += [idx, kidx]
+            vals += [v, kv]
+        stacked = jnp.concatenate(idxs, axis=0)            # (FM*2*P, 3)
+        vstack = jnp.concatenate(vals, axis=0)
+        plane = jnp.repeat(jnp.arange(2 * FM, dtype=jnp.int32),
+                           idxs[0].shape[0])
+        occ = jnp.zeros((2 * FM,) + gs, jnp.float32).at[
+            plane, stacked[:, 0], stacked[:, 1], stacked[:, 2]].max(
+            vstack.astype(jnp.float32))
+        for j in range(FM):
+            f = i * FM + j
+            di = di + coef[:, f][:, None, None, None] * occ[2 * j][None]
+            dk = dk + coef_key[f] * occ[2 * j + 1]
         return di, dk
 
     di0 = jnp.zeros((M,) + gs, jnp.float32)
     dk0 = jnp.zeros(gs, jnp.float32)
-    return jax.lax.fori_loop(0, frames_pts.shape[0], body, (di0, dk0))
+    return jax.lax.fori_loop(0, F // FM, body, (di0, dk0))
 
 
 @partial(jax.jit, static_argnames=("threshold",))
