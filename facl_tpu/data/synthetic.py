@@ -13,23 +13,47 @@ from facl_tpu.datagen import ClipGenerator
 
 
 def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
-                         shape=(424, 512), n_blobs: int = 2) -> np.ndarray:
+                         shape=(424, 512), n_blobs: int = 2,
+                         action: Optional[int] = None,
+                         num_actions: int = 5) -> np.ndarray:
     """A human-ish synthetic depth sequence: moving rectangles at plausible
-    Kinect depths (mm)."""
+    Kinect depths (mm).
+
+    ``action`` (1-based) makes the MOTION class-conditioned: the blob
+    travels along a class-specific direction (angle 2*pi*(a-1)/A, with
+    per-clip jitter) at a class-alternating speed, and its depth drifts
+    with a class-dependent sign. The rank-pooled 3DV channels encode
+    exactly such temporal structure, so clips of the same action are
+    linearly separable in a well-trained embedding — this is what
+    tools/train_synthetic_probe.py uses to demonstrate end-to-end
+    unsupervised learning without the license-gated NTU data. With
+    ``action=None`` the motion is unconditioned (smoke-test mode)."""
     H, W = shape
     frames = np.zeros((n_frames, H, W), np.float32)
     for b in range(n_blobs):
         h = int(rng.integers(H // 4, H // 2))
         w = int(rng.integers(W // 10, W // 5))
-        y0 = int(rng.integers(0, H - h))
-        # Velocity scaled so the blob stays in frame for any clip length.
-        vx = max(1, (W - w - 1) // max(n_frames, 1))
-        vx = int(rng.integers(1, min(4, vx) + 1))
-        x0 = int(rng.integers(0, max(1, W - w - n_frames * vx)))
         depth = float(rng.uniform(1500, 3500))
+        if action is None:
+            y0 = int(rng.integers(0, H - h))
+            vx = max(1, (W - w - 1) // max(n_frames, 1))
+            vx = int(rng.integers(1, min(4, vx) + 1))
+            x0 = int(rng.integers(0, max(1, W - w - n_frames * vx)))
+            vy, ddepth = 0.0, 20.0
+        else:
+            ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
+                   + float(rng.uniform(-0.15, 0.15)))
+            speed = (3.0 if action % 2 else 6.0) * float(
+                rng.uniform(0.85, 1.15))
+            vx = speed * np.cos(ang)
+            vy = speed * np.sin(ang)
+            x0 = int(rng.integers(W // 4, max(W // 4 + 1, W // 2)))
+            y0 = int(rng.integers(H // 4, max(H // 4 + 1, H // 2)))
+            ddepth = 25.0 if action % 2 else -25.0
         for f in range(n_frames):
-            x = min(x0 + vx * f, W - w - 1)
-            frames[f, y0:y0 + h, x:x + w] = depth + 20.0 * f
+            x = int(np.clip(x0 + vx * f, 0, W - w - 1))
+            y = int(np.clip(y0 + vy * f, 0, H - h - 1))
+            frames[f, y:y + h, x:x + w] = depth + ddepth * f
     return frames
 
 
@@ -77,31 +101,53 @@ def write_random_tree(root: str, num_videos: int = 128, seed: int = 0,
 
 
 def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
-                            datagen_cfg: Optional[DatagenConfig] = None
-                            ) -> Sequence[str]:
+                            datagen_cfg: Optional[DatagenConfig] = None,
+                            class_conditioned: bool = False,
+                            num_actions: int = 5,
+                            clip_batch: int = 4) -> Sequence[str]:
     """Generate a small synthetic point-cloud tree in the on-disk layout the
     dataset/loader expect, by running the *real* datagen pipeline on
-    synthetic depth clips."""
+    synthetic depth clips (cross-clip batched, ``clip_batch`` per jit).
+
+    ``class_conditioned``: give each clip the motion signature of its
+    name's action id (see :func:`synthetic_depth_clip`) so an
+    unsupervised-pretrained embedding has a linearly separable class
+    structure to find — the basis of the end-to-end learning
+    demonstration (tools/train_synthetic_probe.py)."""
     rng = np.random.default_rng(seed)
     cfg = datagen_cfg or DatagenConfig(
         grid_shape=(48, 48, 48), image_shape=(128, 160),
         sample_num=2048, num_appearance_frames=10,
         voxel_size=60.0, resolutions=(60, 30, 10))
-    names = sorted(set(synthetic_ntu_names(num_videos * 2, rng)))[:num_videos]
+    pool = sorted(set(synthetic_ntu_names(num_videos * 3, rng,
+                                          num_actions=num_actions)))
+    if len(pool) < num_videos:
+        raise ValueError(f"could not draw {num_videos} unique names")
+    names = pool[:num_videos]
     for res in cfg.resolutions:
         gen = ClipGenerator(cfg, max_frames=res, seed=seed)
         res_dir = os.path.join(root, f"Resolution{res}")
         for sub in ("raw", "others", "app"):
             os.makedirs(os.path.join(res_dir, sub), exist_ok=True)
-        for i, name in enumerate(names):
-            clip_rng = np.random.default_rng(seed * 1000 + i)
-            frames = synthetic_depth_clip(
-                clip_rng, n_frames=min(16, res),
-                shape=cfg.image_shape)
-            out = gen.from_frames(frames)
-            np.save(os.path.join(res_dir, "raw", name + ".npy"), out["raw"])
-            np.save(os.path.join(res_dir, "others", name + "_key.npy"),
-                    out["key"])
-            np.save(os.path.join(res_dir, "app", name + "_app.npy"),
-                    out["app"])
+        for start in range(0, len(names), clip_batch):
+            chunk = names[start:start + clip_batch]
+            clips = []
+            for i, name in enumerate(chunk):
+                clip_rng = np.random.default_rng(seed * 1000 + start + i)
+                action = (int(name[-3:])
+                          if class_conditioned else None)
+                clips.append(synthetic_depth_clip(
+                    clip_rng, n_frames=min(16, res),
+                    shape=cfg.image_shape, action=action,
+                    num_actions=num_actions))
+            outs = gen.from_frames_batch(
+                clips, tags=list(chunk),
+                pad_to=clip_batch if len(chunk) < clip_batch else None)
+            for name, out in zip(chunk, outs):
+                np.save(os.path.join(res_dir, "raw", name + ".npy"),
+                        out["raw"])
+                np.save(os.path.join(res_dir, "others", name + "_key.npy"),
+                        out["key"])
+                np.save(os.path.join(res_dir, "app", name + "_app.npy"),
+                        out["app"])
     return names
