@@ -206,6 +206,17 @@ class ClipGenerator:
         ``pad_to``: pad the batch up to this size by repeating the last
         clip (pad outputs dropped) so a ragged tail group reuses the
         full-size compiled program instead of recompiling."""
+        out, V = self.dispatch_frames_batch(frames_list, tags, pad_to)
+        host = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: host[k][i] for k in host} for i in range(V)]
+
+    def dispatch_frames_batch(self, frames_list, tags=None, pad_to=None
+                              ) -> Tuple[Dict[str, Array], int]:
+        """Async form of :meth:`from_frames_batch`: returns the (device,
+        still-in-flight) output dict plus the true batch size without
+        forcing materialization — JAX dispatch is asynchronous, so the
+        caller can overlap the next group's host IO (PNG decode) with
+        this group's device compute (generate_dataset does)."""
         if tags is None:
             tags = [None] * len(frames_list)
         preps = [self._prepare(f, t) for f, t in zip(frames_list, tags)]
@@ -217,8 +228,7 @@ class ClipGenerator:
         keys = jnp.stack([p[2] for p in preps])
         out = generate_clips(keys, jnp.asarray(bufs), jnp.asarray(ns),
                              self.cfg, self.max_frames)
-        host = {k: np.asarray(v) for k, v in out.items()}
-        return [{k: host[k][i] for k in host} for i in range(V)]
+        return out, V
 
     def from_dir(self, png_dir: str,
                  tag: Optional[str] = None) -> Dict[str, np.ndarray]:
@@ -271,20 +281,41 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
         for d in (raw_dir, key_dir, app_dir):
             os.makedirs(d, exist_ok=True)
 
-        def flush(group) -> int:
-            if not group:
+        # Double-buffered: dispatch group i (async on device), then load
+        # group i+1's PNGs while it computes, materializing + writing i
+        # only when i+1 is ready to dispatch. On a real dataset this
+        # overlaps the two dominant costs (PNG decode and device
+        # scatter time) almost completely.
+        pending: Optional[Tuple[Tuple[str, ...], Dict, int]] = None
+
+        def drain() -> int:
+            nonlocal pending
+            if pending is None:
                 return 0
-            videos, dirs = zip(*group)
-            outs = gen.from_frames_batch(
-                [load_frames(d) for d in dirs], tags=list(videos),
-                pad_to=clip_batch if len(group) < clip_batch else None)
-            for video, out in zip(videos, outs):
-                np.save(os.path.join(raw_dir, video + ".npy"), out["raw"])
+            videos, out, V = pending
+            pending = None
+            host = {k: np.asarray(v) for k, v in out.items()}
+            for i, video in enumerate(videos):
+                np.save(os.path.join(raw_dir, video + ".npy"),
+                        host["raw"][i])
                 np.save(os.path.join(key_dir, video + "_key.npy"),
-                        out["key"])
+                        host["key"][i])
                 np.save(os.path.join(app_dir, video + "_app.npy"),
-                        out["app"])
-            return len(group)
+                        host["app"][i])
+            return len(videos)
+
+        def flush(group) -> int:
+            nonlocal pending
+            if group:
+                videos, dirs = zip(*group)
+                frames = [load_frames(d) for d in dirs]  # overlaps pending
+                done = drain()
+                out, V = gen.dispatch_frames_batch(
+                    frames, tags=list(videos),
+                    pad_to=clip_batch if len(group) < clip_batch else None)
+                pending = (videos, out, V)
+                return done
+            return drain()
 
         group: List[Tuple[str, str]] = []
         for setup in setups:
@@ -295,17 +326,18 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
                 vid_idx += 1
                 if (vid_idx - 1) % num_shards != shard:
                     continue
+                # `scheduled` counts written + in-flight + queued clips,
+                # so the limit is exact even with a pending group.
+                scheduled = written + (len(pending[0]) if pending else 0) \
+                    + len(group)
+                if limit and scheduled >= limit:
+                    break
                 group.append((video, os.path.join(vid_root, video)))
-                at_limit = limit and written + len(group) >= limit
-                if len(group) >= max(1, clip_batch) or at_limit:
-                    if at_limit:
-                        group = group[:limit - written]
+                if len(group) >= max(1, clip_batch):
                     written += flush(group)
                     group = []
-                    if limit and written >= limit:
-                        return written
-        written += flush(group)
-        group = []
+        written += flush(group)   # dispatch the tail (if any)...
+        written += flush([])      # ...and drain it
         if limit and written >= limit:
             return written
     return written

@@ -244,6 +244,28 @@ def test_generate_dataset_clip_batch_matches_default(tmp_path):
             err_msg=str(rel))
 
 
+def test_generate_dataset_limit_exact_with_pipelining(tmp_path):
+    """--limit writes exactly that many clips even with the
+    double-buffered clip_batch driver (a pending in-flight group must
+    count toward the limit)."""
+    imageio = pytest.importorskip("imageio.v2")
+    cfg = small_cfg()
+    cfg = DatagenConfig(**{**cfg.__dict__, "resolutions": (8,)})
+    for vi in range(5):
+        vid_dir = (tmp_path / "data" / "setup1" / "nturgb+d_depth_masked" /
+                   f"S001C001P001R001A{vi + 1:03d}")
+        vid_dir.mkdir(parents=True)
+        for i, fr in enumerate(synthetic_frames(F=6, seed=vi)):
+            imageio.imwrite(str(vid_dir / f"f{i:03d}.png"),
+                            fr.astype(np.uint16))
+    from facl_tpu.datagen import generate_dataset
+    n = generate_dataset(str(tmp_path / "data"), str(tmp_path / "out"),
+                         cfg, limit=3, clip_batch=2)
+    assert n == 3
+    raws = list((tmp_path / "out" / "Resolution8" / "raw").glob("*.npy"))
+    assert len(raws) == 3
+
+
 def test_generate_dataset_walks_ntu_tree(tmp_path):
     """The host driver walks <root>/<setup>/nturgb+d_depth_masked/<video>/
     and writes the reference's output layout (generate_NTU.py:86-112)."""
