@@ -61,14 +61,30 @@ def main(argv=None) -> None:
     log.info("train videos=%d steps/epoch=%d", len(ds), steps_per_epoch)
 
     mesh = None
+    # The EFFECTIVE batch (a small dataset caps it below --batch-size)
+    # is what gets sharded and what the kernels see.
+    eff_batch = min(args.batch_size, len(ds))
     if getattr(args, "mesh", False):
         from facl_tpu.parallel import make_mesh
         mesh = make_mesh(cfg.mesh)
-        if args.batch_size % mesh.shape["dp"]:
+        dp = mesh.shape["dp"]
+        if eff_batch % dp:
             raise SystemExit(
-                f"--mesh: batch size {args.batch_size} must divide by "
-                f"dp={mesh.shape['dp']}")
-        log.info("mesh: dp=%d mp=%d", mesh.shape["dp"], mesh.shape["mp"])
+                f"--mesh: effective batch size {eff_batch} "
+                f"(min of --batch-size and {len(ds)} train videos) must "
+                f"divide by dp={dp}")
+        from facl_tpu.models import resolve_model_config
+        if (resolve_model_config(cfg.model, mesh=mesh).sa_impl
+                in ("pair", "pair3") and (eff_batch // dp) % 2):
+            # The paired-row SA kernels process rows two at a time;
+            # MoCo encodes one view per call (num_crops=1), so the
+            # per-shard row count is exactly eff_batch/dp.
+            raise SystemExit(
+                f"--mesh: per-shard batch {eff_batch}//{dp}="
+                f"{eff_batch // dp} must be even for the paired-row SA "
+                "kernels; pick a batch size divisible by 2*dp or set "
+                '"sa_impl": "reference" in --config')
+        log.info("mesh: dp=%d mp=%d", dp, mesh.shape["mp"])
 
     key = jax.random.PRNGKey(args.seed)
     trainer = MoCoTrainer(cfg, steps_per_epoch, queue_len=args.queue_len,

@@ -232,12 +232,17 @@ class ClipGenerator:
 
     def from_dir(self, png_dir: str,
                  tag: Optional[str] = None) -> Dict[str, np.ndarray]:
-        import imageio.v2 as imageio
-        names = sorted(os.listdir(png_dir))
-        frames = np.stack([
-            np.asarray(imageio.imread(os.path.join(png_dir, n)))
-            for n in names])
-        return self.from_frames(frames, tag=tag)
+        return self.from_frames(load_png_frames(png_dir), tag=tag)
+
+
+def load_png_frames(png_dir: str) -> np.ndarray:
+    """All depth PNGs of one video dir, stacked (F, H, W) in name order."""
+    import imageio.v2 as imageio
+
+    names = sorted(os.listdir(png_dir))
+    return np.stack([
+        np.asarray(imageio.imread(os.path.join(png_dir, n)))
+        for n in names])
 
 
 def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
@@ -262,13 +267,7 @@ def generate_dataset(data_path: str, out_root: str, cfg: DatagenConfig,
     if not (0 <= shard < num_shards):
         raise ValueError(f"shard {shard} out of range for {num_shards}")
 
-    def load_frames(png_dir: str) -> np.ndarray:
-        import imageio.v2 as imageio
-        names = sorted(os.listdir(png_dir))
-        return np.stack([
-            np.asarray(imageio.imread(os.path.join(png_dir, n)))
-            for n in names])
-
+    load_frames = load_png_frames
     written = 0
     vid_idx = 0
     setups = sorted(os.listdir(data_path))

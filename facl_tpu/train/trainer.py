@@ -227,7 +227,6 @@ class Trainer:
         # grouping layout, the jit step and the model all agree
         # (models.resolve_model_config; rules in its docstring).
         from facl_tpu.models import resolve_model_config
-        import dataclasses
         cfg = cfg.replace(model=resolve_model_config(cfg.model, mesh=mesh))
         self.cfg = cfg
         self.steps_per_epoch = steps_per_epoch

@@ -6,7 +6,7 @@ Times generate_clip (one clip per jit call) against generate_clips
 batched speedup — the measurement VERDICT r2 item 6 asks for.
 
 Usage:  python tools/bench_datagen.py [V ...]   (default V = 4 8)
-Env:    DG_STEPS=<n> timed iterations (default 5), DG_FRAMES, DG_RES.
+Env:    DG_STEPS=<n> timed iterations (default 5), DG_FRAMES frame cap.
 """
 from __future__ import annotations
 

@@ -67,10 +67,14 @@ def main() -> None:
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def producer():
-            for _ in range(passes):
-                for idxs in batches:
-                    q.put(ds.load_batch(idxs))
-            q.put(None)
+            try:
+                for _ in range(passes):
+                    for idxs in batches:
+                        q.put(ds.load_batch(idxs))
+            finally:
+                # Always deliver the sentinel — an exception here must
+                # not leave the consumer blocked on q.get() forever.
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t0 = time.perf_counter()

@@ -47,8 +47,10 @@ def main() -> None:
 
     videos = int(os.environ.get("SP_VIDEOS", "96"))
     actions = int(os.environ.get("SP_ACTIONS", "5"))
-    checkpoints = sorted(int(e) for e in os.environ.get(
-        "SP_CHECKPOINTS", "0,5,15,30,60").split(","))
+    # 0 (the frozen random encoder) is always probed — it is the control
+    # the curve is read against.
+    checkpoints = sorted({0} | {int(e) for e in os.environ.get(
+        "SP_CHECKPOINTS", "0,5,15,30,60").split(",")})
     epochs = max(checkpoints)
     batch = int(os.environ.get("SP_BATCH", "16"))
     probe_epochs = int(os.environ.get("SP_PROBE_EPOCHS", "40"))
