@@ -177,23 +177,34 @@ def group_points(
     return grouped, centers
 
 
-def resolve_gather_impl(cfg: GroupingConfig) -> str:
-    """Config-driven gather selection. ``"auto"`` resolves to the XLA
-    gather when multiple devices are visible without a shard_map mesh
-    (GSPMD can partition XLA's gather; the Pallas kernel cannot be
-    partitioned by GSPMD) — an explicit "pallas"/"xla" is always honored."""
-    if cfg.gather_impl == "auto" and len(jax.devices()) > 1:
-        return "xla"
-    return cfg.gather_impl
+def resolve_gather_impl(cfg: GroupingConfig, *,
+                        n_devices: int = None) -> str:
+    """Config-driven gather selection, decided ONCE at build time (like
+    models.resolve_model_config — not re-probed inside traced code).
+
+    An explicit "pallas"/"xla" is always honored. ``"auto"`` downgrades
+    to the XLA gather only in the no-mesh multi-device case, where GSPMD
+    must partition the whole graph and a pallas_call is a single-device
+    program; with a mesh, grouping runs per-shard under shard_map and
+    never calls this. ``n_devices`` defaults to the live runtime and
+    exists so the rule is unit-testable without it
+    (tests/test_grouping.py)."""
+    if cfg.gather_impl != "auto":
+        return cfg.gather_impl
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return "xla" if n_devices > 1 else "auto"
 
 
-def resolve_select_impl(cfg: GroupingConfig) -> str:
-    """Same rule for the neighbor-selection kernel: "auto" downgrades to
-    the XLA composite when GSPMD (not shard_map) would have to partition
-    it; explicit choices are honored."""
-    if cfg.select_impl == "auto" and len(jax.devices()) > 1:
-        return "xla"
-    return cfg.select_impl
+def resolve_select_impl(cfg: GroupingConfig, *,
+                        n_devices: int = None) -> str:
+    """Same rule for the neighbor-selection kernel (see
+    :func:`resolve_gather_impl`)."""
+    if cfg.select_impl != "auto":
+        return cfg.select_impl
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return "xla" if n_devices > 1 else "auto"
 
 
 def group_points_cfg(points: Array, cfg: GroupingConfig) -> Tuple[Array, Array]:

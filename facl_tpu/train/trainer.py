@@ -80,8 +80,11 @@ def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc",
             return out
 
         return grouped
-    return lambda p: group4d(p, resolve_gather_impl(g_cfg),
-                             resolve_select_impl(g_cfg))
+    # No-mesh: resolve "auto" ONCE at build time (the only path where
+    # GSPMD — rather than shard_map — would partition the kernels).
+    gi = resolve_gather_impl(g_cfg)
+    si = resolve_select_impl(g_cfg)
+    return lambda p: group4d(p, gi, si)
 
 
 def make_train_step(model, optimizer, cfg: Config,
