@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _probe_backend(timeout_s: int = 180) -> None:
+def _probe_backend(timeout_s: int = 330) -> None:
     """Fail fast (bounded) if the accelerator backend is unreachable.
 
     A dead remote backend (e.g. a down axon tunnel) makes the first
@@ -113,16 +113,55 @@ def main() -> None:
 
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     from facl_tpu.utils.profiling import trace
-    with trace(os.environ.get("BENCH_PROFILE")):
-        t0 = time.perf_counter()
-        # Fold the step index into the key — a constant key would make the
-        # circle-loss crop permutation identical across steps.
-        for i in range(steps):
-            state, metrics = trainer.step_fn(state, batch,
-                                             jax.random.fold_in(key, i),
-                                             epoch)
-        float(metrics["loss"])      # forces the whole chain
-        dt = time.perf_counter() - t0
+
+    # BENCH_LOOP=1 (default): tunnel-immune timing — chain the steps
+    # through ONE lax.fori_loop dispatch with a *dynamic* trip count
+    # (one compile serves both calibration and measurement) and report
+    # (t_steps - t_1) / (steps - 1). Through the axon tunnel each
+    # Python-dispatched step pays a serialized round trip (measured
+    # ~65 ms on 2026-08-19 — 5x the 16 ms step); on a direct-attached
+    # host dispatch overlaps and both modes agree. BENCH_LOOP=0
+    # restores the per-dispatch Python loop (the r1/r2 form).
+    loop_mode = os.environ.get("BENCH_LOOP", "1") == "1" and steps > 1
+
+    if loop_mode:
+        @jax.jit
+        def run_n(state, metrics, key, n):
+            def body(i, carry):
+                st, _ = carry
+                # Fold the step index into the key — a constant key
+                # would make the circle-loss crop permutation identical
+                # across steps.
+                return trainer.step_fn(st, batch,
+                                       jax.random.fold_in(key, i), epoch)
+            return jax.lax.fori_loop(0, n, body, (state, metrics))
+
+        def timed(n, reps=2):
+            t0 = time.perf_counter()
+            for r in range(reps):
+                st, m = run_n(state, metrics,
+                              jax.random.fold_in(key, 7000 + r), n)
+                float(m["loss"])
+            return (time.perf_counter() - t0) / reps
+
+        n1 = jnp.asarray(1, jnp.int32)
+        nS = jnp.asarray(steps, jnp.int32)
+        _ = timed(n1, reps=1)            # compile + warm
+        with trace(os.environ.get("BENCH_PROFILE")):
+            t_1 = timed(n1)
+            t_S = timed(nS)
+        dt = (t_S - t_1) / (steps - 1) * steps
+    else:
+        with trace(os.environ.get("BENCH_PROFILE")):
+            t0 = time.perf_counter()
+            # Fold the step index into the key — a constant key would
+            # make the circle-loss crop permutation identical across
+            # steps.
+            for i in range(steps):
+                state, metrics = trainer.step_fn(
+                    state, batch, jax.random.fold_in(key, i), epoch)
+            float(metrics["loss"])      # forces the whole chain
+            dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
     clips_per_sec = steps * B / dt / n_chips
@@ -140,6 +179,8 @@ def main() -> None:
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(vs, 3),
+        "mode": "fori_loop_diff" if loop_mode else "python_loop",
+        "steps": steps,
     }))
 
 

@@ -35,13 +35,17 @@ Layout invariants:
 * The p1/p2 residuals are written and re-read in paired layout; only
   x, pooled, and dpooled cross the pairing boundary.
 
-Forward sweeps 2-3 reuse the hybrid2 kernel makers verbatim (their code
-is shape-generic). The x-touching sweeps need paired variants (the
-input halves arrive as two operands, and the layer-1 coupling blocks
-(m1*x_i)^T h1 need each half's x column broadcast over its own 64
-lanes); forward sweep 4 additionally emits the pool-argmax residual,
-and the backward sweeps are padding-tight rewrites (see each kernel's
-docstring).
+The forward is THREE Pallas sweeps (+ one cheap XLA pass): layer-1 BN
+moments come from the covariance identity on Gram(x)/colsum(x) — XLA
+computes them over the C0=4-wide input before any sweep — so layers 1
+and 2 run as ONE fused sweep (x -> p1 + p2 + p2 moments, no HBM
+re-read of p1 between them and one fewer BN barrier); the Gram(h2)
+sweep reuses the hybrid2 kernel maker (shape-generic); the pool sweep
+additionally emits the pool-argmax residual. The x-touching sweeps
+need paired variants (the input halves arrive as two operands, and
+the non-slim backward's layer-1 coupling blocks (m1*x_i)^T h1 need
+each half's x column broadcast over its own 64 lanes); the backward
+sweeps are padding-tight rewrites (see each kernel's docstring).
 
 Two backward modes (``slim``, exposed as ``sa_impl="pair3"``):
 
@@ -80,7 +84,6 @@ from facl_tpu.ops.pallas.sa_bwd import (
 from facl_tpu.ops.pallas.sa_fwd import (
     _finalize,
     _make_gram_sweep,
-    _make_layer_sweep,
 )
 
 Array = jax.Array
@@ -114,28 +117,31 @@ def _foldlanes(v, c):
     return v[:, :c] + v[:, c:]
 
 
-def _make_pair_layer1_kernel(dtype, precision, cf: bool, slim: bool):
-    """Forward sweep 1: build the paired input tile from the lo/hi
-    blocks and emit p1 (paired) + its moment sums. ``cf`` selects
-    channels-first (1, C0, T) blocks — the fused select+gather kernel's
-    native layout — contracted over the channel (sublane) axis directly,
-    so no XLA transpose of the (rows, C) input ever materializes.
+def _make_pair_layer12_kernel(dtype, precision, cf: bool):
+    """Fused forward sweep 1+2: paired input tile -> p1 AND p2 tiles in
+    one pass, plus p2's moment sums. ``cf`` selects channels-first
+    (1, C0, T) blocks — the fused select+gather kernel's native layout —
+    contracted over the channel (sublane) axis directly, so no XLA
+    transpose of the (rows, C) input ever materializes.
 
-    ``slim`` adds a fourth output: the dy-independent input reductions
-    for backward sweep 3's layer-1 terms — Gram(x) and colsum(x),
-    paired — accumulate here too (x is already in VMEM; the packed
-    (2C0, 2C0+1) block is [Gx | cx])."""
+    The fusion is possible because the layer-1 folded affine
+    (mul1/shift1) is already known when the sweep launches: the layer-1
+    BN moments come from the covariance identity on Gram(x)/colsum(x),
+    computed by XLA in one pass over the C0=4-wide input (~1% of one
+    residual's bytes) BEFORE the sweep — see sa_forward_pair. Compared
+    to the round-2 two-sweep forward this removes one full HBM read of
+    the p1 residual and one BN launch barrier; the stored p1 tile is
+    re-consumed from VMEM (h1 = affine+ReLU of the stored-cast value,
+    bit-identical to what the backward recomputes from p1p)."""
 
-    def kernel(w_ref, b_ref, lo_ref, hi_ref, p_ref, s_ref, ss_ref,
-               gx_ref=None):
+    def kernel(w1_ref, b1_ref, mul1_ref, shift1_ref, w2_ref, b2_ref,
+               lo_ref, hi_ref, p1_ref, p2_ref, s_ref, ss_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             s_ref[...] = jnp.zeros_like(s_ref)
             ss_ref[...] = jnp.zeros_like(ss_ref)
-            if slim:
-                gx_ref[...] = jnp.zeros_like(gx_ref)
 
         if cf:
             # (2C0, T) stacked halves; contract sublanes against the
@@ -143,33 +149,26 @@ def _make_pair_layer1_kernel(dtype, precision, cf: bool, slim: bool):
             xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
                                   axis=0).astype(dtype)
             d = jax.lax.dot_general(
-                xcf, w_ref[...].astype(dtype),
+                xcf, w1_ref[...].astype(dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
-            if slim:
-                T = d.shape[0]
-                xcf1 = jnp.concatenate(
-                    [xcf, jnp.ones((1, T), dtype)], axis=0)
-                gx_ref[...] += jax.lax.dot_general(
-                    xcf, xcf1, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f32, precision=precision)
         else:
             xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
                                  axis=1).astype(dtype)
             d = jax.lax.dot_general(
-                xp, w_ref[...].astype(dtype),
+                xp, w1_ref[...].astype(dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
-            if slim:
-                T = xp.shape[0]
-                xp1 = jnp.concatenate([xp, jnp.ones((T, 1), dtype)],
-                                      axis=1)
-                gx_ref[...] += jax.lax.dot_general(
-                    xp, xp1, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=f32, precision=precision)
-        p = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
-        p_ref[...] = p
-        pf = p.astype(f32)
+        p1 = d.astype(dtype) + b1_ref[0].astype(dtype)[None, :]
+        p1_ref[...] = p1
+        h1 = _h_from_p(p1, mul1_ref[0], shift1_ref[0], dtype)
+        d2 = jax.lax.dot_general(
+            h1, w2_ref[...].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        p2 = d2.astype(dtype) + b2_ref[0].astype(dtype)[None, :]
+        p2_ref[...] = p2
+        pf = p2.astype(f32)
         s_ref[0, :] += jnp.sum(pf, axis=0)
         ss_ref[0, :] += jnp.sum(pf * pf, axis=0)
 
@@ -509,15 +508,16 @@ def _x_specs(x, C0, tile, Rh):
 def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
                     interpret: bool = False, slim: bool = False,
                     axis_name=None):
-    """4-sweep paired forward. xf: (R, C0) flattened rows OR
-    (B, C0, N) channels-first (compute dtype), R/2 a multiple of
-    ``pool``. Returns
+    """3-sweep paired forward (fused layer-1+2 sweep, Gram sweep, pool
+    sweep; layer-1 BN moments via the XLA Gram(x) covariance identity).
+    xf: (R, C0) flattened rows OR (B, C0, N) channels-first (compute
+    dtype), R/2 a multiple of ``pool``. Returns
     (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2),
-    gram2 = (Gram(h2) (C2, C2), colsum(h2) (C2,)) — folded sweep-3
+    gram2 = (Gram(h2) (C2, C2), colsum(h2) (C2,)) — folded Gram-sweep
     accumulators, saved as residuals so backward sweep 1 never
-    recomputes them, idxp, gramx). ``slim`` accumulates
-    gramx = (Gram(x), colsum(x)) in sweep 1 for the 3-sweep backward;
-    otherwise gramx is None.
+    recomputes them, idxp, gramx). ``slim`` returns
+    gramx = (Gram(x), colsum(x)) for the 3-sweep backward (the same
+    XLA pass that feeds the layer-1 moments); otherwise gramx is None.
 
     ``axis_name``: when running per-shard inside ``shard_map``
     (make_sharded_pair), the BatchNorm moment accumulators and the
@@ -546,56 +546,49 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     bf16 = jnp.dtype(dtype) != jnp.float32
     Tl, Tp, _ = _pick_tiles(Rh, pool, bf16, N)
 
-    # Sweep 1: x (lo/hi halves) -> paired p1 + moments; slim adds the
-    # packed [Gx | cx] block (the dy-independent layer-1 reductions for
-    # backward sweep 3).
+    # Layer-1 BN moments by the covariance identity on Gram(x)/colsum(x)
+    # — one XLA pass over the C0=4-wide input (~1% of one residual's
+    # bytes), exactly the identity layer 3 uses on Gram(h2). Knowing
+    # mul1/shift1 up front lets sweeps 1 and 2 fuse into ONE Pallas pass
+    # (no HBM re-read of p1p between them, one fewer BN barrier); the
+    # same Gx/cx double as the slim backward's gramx residual.
+    if cf:
+        Gx = jnp.einsum("bcn,bdn->cd", xf, xf,
+                        preferred_element_type=f32, precision=precision)
+        cx = jnp.sum(xf.astype(f32), axis=(0, 2))
+    else:
+        Gx = jnp.einsum("nc,nd->cd", xf, xf,
+                        preferred_element_type=f32, precision=precision)
+        cx = jnp.sum(xf.astype(f32), axis=0)
+    Gx, cx = _g(Gx), _g(cx)
+    gramx = (Gx, cx) if slim else None
+    w1f = lp1.kernel.astype(f32)
+    b1f = lp1.bias.astype(f32)
+    mean1 = (cx @ w1f) / n + b1f
+    e1 = (jnp.einsum("ic,ic->c", Gx @ w1f, w1f) / n
+          + b1f * (2.0 * mean1 - b1f))
+    var1 = e1 - mean1 * mean1
+    mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
+
+    # Fused sweep 1+2: x (lo/hi halves) -> paired p1 AND p2 + p2 moments.
     nb = Rh // Tl
-    gx_specs = ((_const_spec((2 * C0, 2 * C0 + 1)),) if slim else ())
-    gx_shape = ((jax.ShapeDtypeStruct((2 * C0, 2 * C0 + 1), f32),)
-                if slim else ())
-    outs1 = pl.pallas_call(
-        _make_pair_layer1_kernel(dtype, precision, cf, slim),
+    p1p, p2p, s2, ss2 = pl.pallas_call(
+        _make_pair_layer12_kernel(dtype, precision, cf),
         grid=(nb,),
         in_specs=[
             _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
-        ] + _x_specs(xf, C0, Tl, Rh),
-        out_specs=(_tile_spec(Tl, 2 * C1), _const_spec((1, 2 * C1)),
-                   _const_spec((1, 2 * C1))) + gx_specs,
-        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
-                   jax.ShapeDtypeStruct((1, 2 * C1), f32),
-                   jax.ShapeDtypeStruct((1, 2 * C1), f32)) + gx_shape,
-        interpret=interpret,
-    )(_blkdiag(lp1.kernel), _pair2(lp1.bias), xf, xf)
-    if slim:
-        p1p, s1, ss1, gxp = outs1
-        Gx = gxp[:C0, :C0] + gxp[C0:2 * C0, C0:2 * C0]
-        cx = gxp[:C0, 2 * C0] + gxp[C0:2 * C0, 2 * C0]
-        gramx = (_g(Gx), _g(cx))
-    else:
-        p1p, s1, ss1 = outs1
-        gramx = None
-    mean1, var1 = _finalize(_g(_foldlanes(s1, C1)),
-                            _g(_foldlanes(ss1, C1)), n)
-    mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
-
-    # Sweep 2: paired p1 -> paired p2 + moments (hybrid2 kernel,
-    # paired shapes).
-    p2p, s2, ss2 = pl.pallas_call(
-        _make_layer_sweep(dtype, True, precision),
-        grid=(Rh // Tl,),
-        in_specs=[
-            _const_spec((2 * C1, 2 * C2)), _const_spec((1, 2 * C2)),
             _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
-            _tile_spec(Tl, 2 * C1),
-        ],
-        out_specs=(_tile_spec(Tl, 2 * C2), _const_spec((1, 2 * C2)),
-                   _const_spec((1, 2 * C2))),
-        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C2), dtype),
+            _const_spec((2 * C1, 2 * C2)), _const_spec((1, 2 * C2)),
+        ] + _x_specs(xf, C0, Tl, Rh),
+        out_specs=(_tile_spec(Tl, 2 * C1), _tile_spec(Tl, 2 * C2),
+                   _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2))),
+        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
+                   jax.ShapeDtypeStruct((Rh, 2 * C2), dtype),
                    jax.ShapeDtypeStruct((1, 2 * C2), f32),
                    jax.ShapeDtypeStruct((1, 2 * C2), f32)),
         interpret=interpret,
-    )(_blkdiag(lp2.kernel), _pair2(lp2.bias), _pair2(mul1),
-      _pair2(shift1), p1p)
+    )(_blkdiag(lp1.kernel), _pair2(lp1.bias), _pair2(mul1),
+      _pair2(shift1), _blkdiag(lp2.kernel), _pair2(lp2.bias), xf, xf)
     mean2, var2 = _finalize(_g(_foldlanes(s2, C2)),
                             _g(_foldlanes(ss2, C2)), n)
     mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)

@@ -4,7 +4,14 @@ widths 64/64/256).
 
 Usage: python tools/bench_sa.py [impl ...]   (default: hybrid2 pair)
 Env: SA_BENCH_DTYPE=float32|bfloat16 (default bfloat16),
-     SA_BENCH_STEPS=N (default 20).
+     SA_BENCH_STEPS=N (default 20),
+     SA_BENCH_LOOP=N (0 = off): tunnel-immune mode — run N parameter-
+       update iterations chained through ``lax.fori_loop`` inside ONE
+       jit dispatch and report (t_N - t_1)/(N - 1), cancelling the
+       per-dispatch tunnel overhead that dominates Python-loop timings
+       when the axon link is degraded (e.g. 2026-08-19: a trivial add
+       took 175 s to warm up and per-dispatch overhead was ~65 ms,
+       5x-ing the Python-loop numbers of BASELINE.md's table).
 
 Times one jitted value_and_grad step of sum(pooled * w) — forward +
 full backward w.r.t. the layer parameters — synchronized by scalar
@@ -62,6 +69,45 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown impl {impl!r}")
         return f
+
+    loop_n = int(os.environ.get("SA_BENCH_LOOP", "0"))
+    if loop_n:
+        for impl in impls:
+            f = get_fn(impl)
+
+            @jax.jit
+            def run(layers, x, n, f=f):
+                # Dynamic trip count: ONE compile serves both the n=1
+                # calibration and the n=loop_n measurement.
+                def body(_i, lay):
+                    def loss(lay):
+                        pooled, _ = f(x, lay, 1e-5, dtype, False)
+                        return jnp.sum(pooled.astype(jnp.float32)
+                                       * wvec)
+                    _l, g = jax.value_and_grad(loss)(lay)
+                    # Tiny SGD update: chains iteration i+1 on i's
+                    # gradients so XLA cannot elide or overlap steps.
+                    return jax.tree_util.tree_map(
+                        lambda p, gr: (p - 1e-6 * gr).astype(p.dtype),
+                        lay, g)
+                out = jax.lax.fori_loop(0, n, body, layers)
+                return out[0].kernel
+
+            times = {}
+            nn = {1: jnp.asarray(1, jnp.int32),
+                  loop_n: jnp.asarray(loop_n, jnp.int32)}
+            _ = float(run(layers, x, nn[1]).ravel()[0])   # compile+run 1
+            for n in (1, loop_n):
+                reps = 3
+                t0 = time.perf_counter()
+                for _r in range(reps):
+                    _ = float(run(layers, x, nn[n]).ravel()[0])
+                times[n] = (time.perf_counter() - t0) / reps
+            dt = (times[loop_n] - times[1]) / (loop_n - 1)
+            print(f"{impl:10s} {dtype.name:9s} {dt * 1e3:8.2f} ms/step "
+                  f"device (fori_loop {loop_n} vs 1; dispatch+1step "
+                  f"{times[1] * 1e3:.1f} ms)")
+        return
 
     for impl in impls:
         f = get_fn(impl)
