@@ -13,7 +13,11 @@ Prints ONE JSON line:
 the denominator is produced by ``tools/bench_reference_torch.py`` — an
 exact re-timing harness of the reference's per-step work in PyTorch on this
 host — whose result is cached in ``baseline_local.json``. If that file is
-missing, vs_baseline falls back to 1.0.
+missing, vs_baseline falls back to 1.0.  The baseline was timed
+python-loop style; the default fori_loop_diff mode here is the same
+per-step work (device-verified BENCH_LOOP=0/1 agreement, BASELINE.md) so
+the ratio is like-for-like up to dispatch overhead, which the torch
+number also excludes (CUDA-graph-free synchronous steps).
 """
 from __future__ import annotations
 
@@ -48,6 +52,40 @@ def _probe_backend(timeout_s: int = 330) -> None:
             f">{timeout_s}s) — no measurement possible")
     except subprocess.CalledProcessError as e:
         raise SystemExit(f"bench: device probe failed (rc={e.returncode})")
+
+
+def make_run_n(step_fn, batches, epoch):
+    """Build the jitted n-step loop runner used by BENCH_LOOP=1.
+
+    ``batches`` is a (R, G, B, N, C) stack of R >= 2 pre-staged batches; the
+    fori_loop body selects batch ``i % R`` by dynamic slice, so the grouping
+    input is iteration-dependent and the compiler cannot hoist or
+    constant-fold the select/top_k chain out of the while body (the
+    reference pays grouping every step — utils_my.py:255-291 runs per
+    batch — so must the benchmark). tests/test_bench_loop.py asserts the
+    compiled HLO keeps the grouping inside the loop.
+
+    Returns run_n(state, metrics, key, n) -> (state, metrics); ``n`` is a
+    traced int32 so one compilation serves calibration and measurement.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R = batches.shape[0]
+    assert R >= 2, "need >= 2 staged batches to defeat loop-invariant elision"
+
+    @jax.jit
+    def run_n(state, metrics, key, n):
+        def body(i, carry):
+            st, _ = carry
+            b = jax.lax.dynamic_index_in_dim(batches, i % R, 0,
+                                             keepdims=False)
+            # Fold the step index into the key — a constant key would make
+            # the circle-loss crop permutation identical across steps.
+            return step_fn(st, b, jax.random.fold_in(key, i), epoch)
+        return jax.lax.fori_loop(0, n, body, (state, metrics))
+
+    return run_n
 
 
 def main() -> None:
@@ -94,8 +132,12 @@ def main() -> None:
     C = cfg.model.in_features            # 4
 
     rng = np.random.default_rng(0)
-    batch_np = rng.normal(size=(G, B, N, C)).astype(np.float32)
-    batch = jnp.asarray(batch_np)
+    # Two distinct pre-staged batches; every timed step consumes batch
+    # (step % 2) so the grouping input is iteration-dependent in BOTH
+    # timing modes (loop-invariant-elision-proof; see make_run_n).
+    batches_np = rng.normal(size=(2, G, B, N, C)).astype(np.float32)
+    batches = jnp.asarray(batches_np)
+    batch = batches[0]
 
     trainer = Trainer(cfg, steps_per_epoch=100)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -106,12 +148,12 @@ def main() -> None:
     # barrier here: block_until_ready returns early on the remote (axon)
     # backend.
     for i in range(2):
-        state, metrics = trainer.step_fn(state, batch,
+        state, metrics = trainer.step_fn(state, batches[i % 2],
                                          jax.random.fold_in(key, 1000 + i),
                                          epoch)
     float(metrics["loss"])
 
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
     from facl_tpu.utils.profiling import trace
 
     # BENCH_LOOP=1 (default): tunnel-immune timing — chain the steps
@@ -121,20 +163,15 @@ def main() -> None:
     # Python-dispatched step pays a serialized round trip (measured
     # ~65 ms on 2026-08-19 — 5x the 16 ms step); on a direct-attached
     # host dispatch overlaps and both modes agree. BENCH_LOOP=0
-    # restores the per-dispatch Python loop (the r1/r2 form).
+    # restores the per-dispatch Python loop (the r1/r2 form). Both modes
+    # rotate between two staged batches so per-step work is identical
+    # and loop-invariant elision is impossible (make_run_n;
+    # device-verified mode agreement recorded in BASELINE.md).
     loop_mode = os.environ.get("BENCH_LOOP", "1") == "1" and steps > 1
+    mode = "fori_loop_diff" if loop_mode else "python_loop"
 
     if loop_mode:
-        @jax.jit
-        def run_n(state, metrics, key, n):
-            def body(i, carry):
-                st, _ = carry
-                # Fold the step index into the key — a constant key
-                # would make the circle-loss crop permutation identical
-                # across steps.
-                return trainer.step_fn(st, batch,
-                                       jax.random.fold_in(key, i), epoch)
-            return jax.lax.fori_loop(0, n, body, (state, metrics))
+        run_n = make_run_n(trainer.step_fn, batches, epoch)
 
         def timed(n, reps=2):
             t0 = time.perf_counter()
@@ -148,18 +185,22 @@ def main() -> None:
         nS = jnp.asarray(steps, jnp.int32)
         _ = timed(n1, reps=1)            # compile + warm
         with trace(os.environ.get("BENCH_PROFILE")):
-            t_1 = timed(n1)
+            t_1 = timed(n1, reps=3)
             t_S = timed(nS)
         dt = (t_S - t_1) / (steps - 1) * steps
+        if dt <= 0:
+            # Tunnel jitter can make the 1-step calibration exceed
+            # t_S/steps; fall back to the un-differenced loop total
+            # (still dispatch-free, just includes one dispatch overhead).
+            dt = t_S
+            mode = "fori_loop_total"
     else:
         with trace(os.environ.get("BENCH_PROFILE")):
             t0 = time.perf_counter()
-            # Fold the step index into the key — a constant key would
-            # make the circle-loss crop permutation identical across
-            # steps.
             for i in range(steps):
                 state, metrics = trainer.step_fn(
-                    state, batch, jax.random.fold_in(key, i), epoch)
+                    state, batches[i % 2], jax.random.fold_in(key, i),
+                    epoch)
             float(metrics["loss"])      # forces the whole chain
             dt = time.perf_counter() - t0
 
@@ -179,7 +220,7 @@ def main() -> None:
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(vs, 3),
-        "mode": "fori_loop_diff" if loop_mode else "python_loop",
+        "mode": mode,
         "steps": steps,
     }))
 

@@ -71,6 +71,9 @@ def main() -> None:
         return f
 
     loop_n = int(os.environ.get("SA_BENCH_LOOP", "0"))
+    if loop_n == 1:
+        raise SystemExit("SA_BENCH_LOOP must be >= 2 (the timing is the "
+                         "difference between an n-step and a 1-step loop)")
     if loop_n:
         for impl in impls:
             f = get_fn(impl)
