@@ -25,16 +25,41 @@ from facl_tpu.models import PointNetPlus  # noqa: E402
 from facl_tpu.ops.grouping import group_points  # noqa: E402
 
 
+class BiasedBN(torch.nn.BatchNorm1d):
+    """BatchNorm1d whose running-var update uses the *biased* estimator,
+    matching flax (the one documented BN deviation — module docstring /
+    PARITY.md). Train-mode normalization is unchanged (batch stats); only
+    the running-stat bookkeeping differs from stock torch, so the
+    multi-step trajectory test can compare running stats exactly instead
+    of absorbing an n/(n-1) factor that depends on each BN site's row
+    count."""
+
+    def forward(self, x):  # noqa: D102
+        if self.training:
+            with torch.no_grad():
+                m = x.mean(0)
+                v = x.var(0, unbiased=False)
+                self.running_mean.mul_(1 - self.momentum).add_(
+                    self.momentum * m)
+                self.running_var.mul_(1 - self.momentum).add_(
+                    self.momentum * v)
+            return torch.nn.functional.batch_norm(
+                x, None, None, self.weight, self.bias, True, 0.0, self.eps)
+        return super().forward(x)
+
+
 def build_torch_encoder(widths_sa, widths_s2, fc_hidden, embed_dim,
-                        n_protos, in_feat=4):
+                        n_protos, in_feat=4, bn_cls=None):
     """Independent torch mirror of the reference encoder architecture:
     1x1-conv stacks == per-point Linear over channels."""
     import torch.nn as nn
 
+    bn_cls = bn_cls or nn.BatchNorm1d
+
     def block(cin, widths):
         layers = []
         for w in widths:
-            layers += [nn.Linear(cin, w), nn.BatchNorm1d(w), nn.ReLU()]
+            layers += [nn.Linear(cin, w), bn_cls(w), nn.ReLU()]
             cin = w
         return nn.Sequential(*layers)
 
@@ -45,7 +70,7 @@ def build_torch_encoder(widths_sa, widths_s2, fc_hidden, embed_dim,
             self.stage2 = block(3 + widths_sa[-1], widths_s2)
             self.head = nn.Sequential(
                 nn.Linear(widths_s2[-1], fc_hidden),
-                nn.BatchNorm1d(fc_hidden), nn.ReLU(),
+                bn_cls(fc_hidden), nn.ReLU(),
                 nn.Linear(fc_hidden, embed_dim))
             self.mapping = nn.Linear(embed_dim, n_protos, bias=False)
 
@@ -208,6 +233,7 @@ def torch_circle(x, perm):
     return loss
 
 
+@pytest.mark.slow
 def test_training_step_gradients_match_torch(rng):
     """Gradient-level cross-framework parity (VERDICT r2 item 4): one full
     f32 training step — forward in train mode, BOTH active losses
@@ -330,6 +356,205 @@ def test_training_step_gradients_match_torch(rng):
             np.testing.assert_allclose(jp[mask], tp[mask], rtol=2e-3,
                                        atol=2e-6, err_msg='/'.join(path))
     assert meaningful > 0.5 * total, (meaningful, total)
+
+
+def _torch_trajectory(params0, batches_grouped, perms, widths_sa, widths_s2,
+                      G, B, D, n_steps, lr_step_size=4, lr_gamma=0.7):
+    """n_steps of the reference training recipe in torch: Adam(3e-4,
+    (0.5, 0.999), 1e-6) + StepLR(4, 0.7) stepped per epoch
+    (cn3d_train_apperance_GL.py:180-181,333; here 1 step == 1 epoch so the
+    LR boundary at epoch 4 lands inside the trajectory)."""
+    tenc = build_torch_encoder(widths_sa, widths_s2, 24, D, 6,
+                               bn_cls=BiasedBN)
+    copy_params_to_torch(params0, tenc, widths_sa, widths_s2)
+    tenc.train()
+    topt = torch.optim.Adam(tenc.parameters(), lr=3e-4, betas=(0.5, 0.999),
+                            eps=1e-6)
+    sched = torch.optim.lr_scheduler.StepLR(topt, step_size=lr_step_size,
+                                            gamma=lr_gamma)
+    losses = []
+    grads0 = {}
+    for i in range(n_steps):
+        neigh, cent = batches_grouped[i]
+        tx, _, _, txg = tenc(torch.from_numpy(neigh),
+                             torch.from_numpy(cent), G)
+        txr = tx.reshape(B, G, D).permute(1, 0, 2)
+        loss = torch_global_local(txr, txg) + torch_circle(txr, perms[i])
+        topt.zero_grad()
+        loss.backward()
+        if i == 0:
+            # Step-0 gradient snapshot: separates entries with real
+            # gradients (trajectories must track) from fp-noise-floor
+            # entries (Adam normalizes every update to ~lr, so the two
+            # frameworks' round-off noise random-walks them apart —
+            # same separation the single-step test applies).
+            grads0 = {id(p): p.grad.detach().clone()
+                      for p in tenc.parameters() if p.grad is not None}
+        topt.step()
+        sched.step()
+        losses.append(float(loss))
+    return losses, tenc, grads0
+
+
+def _jax_trajectory(sa_impl, point_batches, keys, widths_sa, widths_s2,
+                    G, B, S, K, D, n_steps):
+    """n_steps of the REAL Trainer (production step_fn) on CPU with
+    steps_per_epoch=1 so the StepLR(4, 0.7) boundary is crossed at step 4
+    (train/optim.py::step_decay_schedule)."""
+    import dataclasses
+
+    from facl_tpu.config import Config, GroupingConfig
+    from facl_tpu.train import Trainer
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, sa_widths=widths_sa, stage2_widths=widths_s2,
+            fc_hidden=24, embed_dim=D, num_prototypes=6, num_crops=G,
+            sa_impl=sa_impl),
+        grouping=GroupingConfig(num_centroids=S, knn_k=K, radius_sq=10.0),
+        train=dataclasses.replace(cfg.train, batch_size=B))
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), point_batches[0])
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    losses = []
+    epoch = jnp.asarray(0, jnp.int32)
+    for i in range(n_steps):
+        state, metrics = trainer.step_fn(state, point_batches[i], keys[i],
+                                         epoch)
+        losses.append(float(metrics["loss"]))
+    return losses, state, params0
+
+
+@pytest.mark.slow
+def test_multi_step_trajectory_matches_torch(rng):
+    """Multi-step trajectory parity (VERDICT r3 item 2): >= 5 consecutive
+    f32 training steps of the REAL Trainer vs the torch mirror running the
+    reference recipe — per-step loss trajectory, BN *running* statistics
+    (carried across steps, never consumed in train mode), Adam moments
+    (implicitly: step i+1's update depends on them), and the StepLR(4,
+    0.7) boundary at step 4 — all must stay matched to the end. Also runs
+    the same trajectory through the pair3 flagship path (CPU interpret
+    mode) and holds it to the same torch trajectory."""
+    from facl_tpu.config import OptimConfig
+    from facl_tpu.train.optim import step_decay_schedule
+
+    widths_sa = (8, 8, 16)   # 3 layers: the pair kernels' trunk shape
+    widths_s2 = (16, 32)
+    G, B, S, K, D, N = 4, 3, 8, 8, 12, 48
+    n_steps = 6
+
+    # The LR schedule itself crosses the boundary inside the trajectory.
+    sched = step_decay_schedule(OptimConfig(), steps_per_epoch=1)
+    assert float(sched(3)) == pytest.approx(3e-4)
+    assert float(sched(4)) == pytest.approx(3e-4 * 0.7)
+
+    point_batches = [
+        jnp.asarray(rng.normal(size=(G, B, N, 4)).astype(np.float32))
+        for _ in range(n_steps)]
+    base = jax.random.PRNGKey(11)
+    keys = [jax.random.fold_in(base, i) for i in range(n_steps)]
+    # The trainer derives the circle permutation from split(key)[1]
+    # (train/trainer.py loss_fn) and circle_infonce permutes with its key
+    # directly (losses/infonce.py:78).
+    perms = [np.asarray(jax.random.permutation(jax.random.split(k)[1], G))
+             for k in keys]
+    # Identical grouping inputs for the torch mirror (grouping parity is
+    # covered by test_grouping_matches_torch_selection).
+    grouped = []
+    for pts in point_batches:
+        flat = jnp.swapaxes(pts, 0, 1).reshape(B * G, N, 4)
+        neigh, cent = group_points(flat, S, K, radius_sq=10.0)
+        grouped.append((np.asarray(neigh), np.asarray(cent)))
+
+    jlosses, jstate, params0 = _jax_trajectory(
+        "reference", point_batches, keys, widths_sa, widths_s2,
+        G, B, S, K, D, n_steps)
+    tlosses, tenc, grads0 = _torch_trajectory(params0, grouped, perms,
+                                              widths_sa, widths_s2, G, B, D,
+                                              n_steps)
+
+    # (1) the full loss trajectory, including the post-LR-drop steps.
+    np.testing.assert_allclose(jlosses, tlosses, rtol=2e-3,
+                               err_msg=f"jax={jlosses} torch={tlosses}")
+
+    # (2) final parameters, on entries whose step-0 gradient is well above
+    # the two frameworks' agreed fp noise floor (elementwise grad parity
+    # to atol 2e-4*scale is established by the single-step test; below
+    # that floor Adam's ~lr-per-step updates take round-off-determined
+    # signs and the trajectories legitimately random-walk apart). BN-
+    # absorbed biases have *mathematically* zero gradient and are skipped.
+    pmap = torch_param_map(tenc, widths_sa, widths_s2)
+    bn_absorbed = (
+        {("sa_stage", f"bias_{i}") for i in range(len(widths_sa))}
+        | {("stage2_mlp", f"dense_{i}", "bias")
+           for i in range(len(widths_s2))}
+        | {("head", "Dense_0", "bias")})
+
+    def _assert_final_params(params, atol, label=""):
+        total = checked = 0
+        for path, (tparam, transpose) in pmap.items():
+            if path in bn_absorbed:
+                continue
+            g0 = grads0.get(id(tparam))
+            if g0 is None:      # mapping head: loss-independent, no grad
+                continue
+            g0 = np.abs(g0.numpy())
+            if transpose:
+                g0 = g0.T
+            mask = g0 > 1e-3 * max(g0.max(), 1e-12)
+            jp = _flax_leaf(params, path)
+            tp = tparam.detach().numpy()
+            if transpose:
+                tp = tp.T
+            scale = max(np.abs(jp).max(), np.abs(tp).max(), 1e-8)
+            total += mask.size
+            checked += int(mask.sum())
+            if mask.any():
+                np.testing.assert_allclose(
+                    jp[mask] / scale, tp[mask] / scale, atol=atol,
+                    err_msg=label + '/'.join(path))
+        assert checked > 0.5 * total, (checked, total)
+
+    _assert_final_params(jstate.params, atol=3e-3)
+
+    # (3) BN running statistics after n_steps of momentum updates (the
+    # state the extract stage will consume in eval mode).
+    bs = jstate.batch_stats
+    runs = []
+    for i in range(len(widths_sa)):
+        runs.append((bs["sa_stage"][f"mean_{i}"],
+                     bs["sa_stage"][f"var_{i}"],
+                     tenc.sa[3 * i + 1], f"sa bn_{i}"))
+    for i in range(len(widths_s2)):
+        fbn = bs["stage2_mlp"][f"BatchNorm_{i}"]
+        runs.append((fbn["mean"], fbn["var"], tenc.stage2[3 * i + 1],
+                     f"s2 bn_{i}"))
+    hbn = bs["head"]["BatchNorm_0"]
+    runs.append((hbn["mean"], hbn["var"], tenc.head[1], "head bn"))
+    for mean, var, tbn, name in runs:
+        # A running *mean* is a near-zero reduction of O(sigma)
+        # activations — its fp/drift noise scales with sigma, not with
+        # the mean itself, so the atol is sigma-relative.
+        sigma = float(np.sqrt(np.asarray(var).mean()))
+        np.testing.assert_allclose(
+            np.asarray(mean), tbn.running_mean.numpy(), rtol=2e-3,
+            atol=3e-3 * sigma, err_msg=name + " mean")
+        np.testing.assert_allclose(
+            np.asarray(var), tbn.running_var.numpy(), rtol=3e-3,
+            atol=1e-6, err_msg=name + " var")
+
+    # (4) the pair3 flagship path (Pallas kernels, CPU interpret mode)
+    # holds the SAME torch trajectory — direct, not transitive, parity.
+    plosses, pstate, pparams0 = _jax_trajectory(
+        "pair3", point_batches, keys, widths_sa, widths_s2,
+        G, B, S, K, D, n_steps)
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(pparams0)[0],
+        jax.tree_util.tree_leaves(params0)[0])  # same init
+    np.testing.assert_allclose(plosses, tlosses, rtol=5e-3,
+                               err_msg=f"pair3={plosses} torch={tlosses}")
+    _assert_final_params(pstate.params, atol=5e-3, label="pair3 ")
 
 
 def test_grouping_matches_torch_selection(rng):
