@@ -89,6 +89,11 @@ def main(argv=None) -> None:
         args.out = cfg.train.checkpoint_dir
 
     ds = NTUPointDataset(args.root, cfg.data, train=True)
+    if len(ds) < args.batch_size:
+        raise SystemExit(
+            f"pretrain: the train split has {len(ds)} video(s) — fewer "
+            f"than --batch-size {args.batch_size} (batches are "
+            "drop_last). Reduce --batch-size or generate more videos.")
     steps_per_epoch = max(1, len(ds) // args.batch_size)
     log.info("train videos=%d steps/epoch=%d devices=%s",
              len(ds), steps_per_epoch, jax.devices())

@@ -33,13 +33,13 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
     for b in range(n_blobs):
         h = int(rng.integers(H // 4, H // 2))
         w = int(rng.integers(W // 10, W // 5))
-        depth = float(rng.uniform(1500, 3500))
+        depth = float(rng.uniform(2500, 3500))
         if action is None:
             y0 = int(rng.integers(0, H - h))
             vx = max(1, (W - w - 1) // max(n_frames, 1))
             vx = int(rng.integers(1, min(4, vx) + 1))
             x0 = int(rng.integers(0, max(1, W - w - n_frames * vx)))
-            vy, ddepth = 0.0, 20.0
+            vy, ddepth = 0.0, 80.0
         else:
             ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
                    + float(rng.uniform(-0.15, 0.15)))
@@ -49,7 +49,13 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             vy = speed * np.sin(ang)
             x0 = int(rng.integers(W // 4, max(W // 4 + 1, W // 2)))
             y0 = int(rng.integers(H // 4, max(H // 4 + 1, H // 2)))
-            ddepth = 25.0 if action % 2 else -25.0
+            # |ddepth| sits INSIDE the (50, 300) motion-localisation window
+            # (datagen/depth.py::locate_motion; generate_NTU.py:356-359),
+            # so the blob interior registers as motion every frame and the
+            # KEY stream carries the class signal too — below 50 the key
+            # voxel set is empty, which the reference generator cannot
+            # even represent (randint(0, 0) crash at generate_NTU.py:224).
+            ddepth = 80.0 if action % 2 else -80.0
         for f in range(n_frames):
             x = int(np.clip(x0 + vx * f, 0, W - w - 1))
             y = int(np.clip(y0 + vy * f, 0, H - h - 1))
@@ -67,6 +73,44 @@ def synthetic_ntu_names(num: int, rng: np.random.Generator,
         r = int(rng.integers(1, 3))
         a = int(rng.integers(1, num_actions + 1))
         names.append(f"S{s:03d}C{c:03d}P{p:03d}R{r:03d}A{a:03d}")
+    return names
+
+
+def write_synthetic_png_tree(root: str, num_videos: int = 64, seed: int = 0,
+                             n_frames: int = 16, shape=(424, 512),
+                             class_conditioned: bool = True,
+                             num_actions: int = 10) -> Sequence[str]:
+    """Synthetic depth clips as 16-bit PNGs in the NTU on-disk layout
+    (``<root>/<setup>/nturgb+d_depth_masked/<video>/<video>_fNNN.png``) —
+    the INPUT both datagen pipelines consume (ours via
+    ``cli.generate --data``; the reference's generate_NTU.py:96-121 walks
+    the same layout), enabling a cross-framework end-to-end comparison
+    from identical pixels.
+
+    Frames are at the Kinect-native shape so the reference's border
+    cropping (generate_NTU.py:339-351, boundary_seg 60/29/10/10) behaves
+    as designed. Depth values are millimeters stored as uint16, exactly
+    like NTU's masked depth maps."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    pool = sorted(set(synthetic_ntu_names(num_videos * 3, rng,
+                                          num_actions=num_actions)))
+    if len(pool) < num_videos:
+        raise ValueError(f"could not draw {num_videos} unique names")
+    names = pool[:num_videos]
+    for i, name in enumerate(names):
+        setup = name[:4].lower()           # sNNN chunk dir, like the real tree
+        vdir = os.path.join(root, setup, "nturgb+d_depth_masked", name)
+        os.makedirs(vdir, exist_ok=True)
+        clip_rng = np.random.default_rng(seed * 1000 + i)
+        action = int(name[-3:]) if class_conditioned else None
+        frames = synthetic_depth_clip(clip_rng, n_frames=n_frames,
+                                      shape=shape, action=action,
+                                      num_actions=num_actions)
+        for f in range(frames.shape[0]):
+            imageio.imwrite(os.path.join(vdir, f"{name}_f{f:03d}.png"),
+                            frames[f].astype(np.uint16))
     return names
 
 

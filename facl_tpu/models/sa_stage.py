@@ -59,7 +59,9 @@ def covar_moments(h: Array, kernel: Array, bias: Array,
     mean = (sx @ wf) / n + bf
     e2 = jnp.einsum("ic,ic->c", gram @ wf, wf,
                     precision=precision) / n + bf * (2.0 * mean - bf)
-    var = e2 - mean * mean
+    # Clamped at 0: the identity rounds negative on constant channels
+    # (rsqrt(var+eps) would NaN past -eps).
+    var = jnp.maximum(e2 - mean * mean, 0.0)
     return mean, var
 
 
@@ -246,7 +248,10 @@ class SetAbstractionStage(nn.Module):
                     pf32 = p.astype(jnp.float32)
                     mean = jnp.mean(pf32, axis=axes)
                     mean2 = jnp.mean(jnp.square(pf32), axis=axes)
-                    var = mean2 - jnp.square(mean)
+                    # Clamp: the identity rounds negative on (near-)
+                    # constant channels and rsqrt(var+eps) NaNs past
+                    # -eps (degenerate all-zero videos, r4 verify drive).
+                    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
                 stats.append((mean, var))
             else:
                 mean, var = running[i]

@@ -58,7 +58,7 @@ def _forward_body(x: Array, layers, eps: float, dtype):
         pf32 = p.astype(jnp.float32)
         mean = jnp.mean(pf32, axis=axes)
         mean2 = jnp.mean(jnp.square(pf32), axis=axes)
-        var = mean2 - jnp.square(mean)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # see sa_fwd._finalize
         stats.append((mean, var))
         mul = jax.lax.rsqrt(var + eps) * lp.scale
         shift = lp.shift - mean * mul

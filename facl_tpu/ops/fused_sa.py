@@ -36,7 +36,10 @@ def _bn_train(p: Array, eps: float) -> Tuple[Array, Array, Array]:
     Returns (normalized (same dtype as p), mean, var)."""
     pf = p.astype(jnp.float32)
     mean = jnp.mean(pf, axis=0)
-    var = jnp.mean(jnp.square(pf), axis=0) - jnp.square(mean)
+    # max(.., 0): the E[x^2]-E[x]^2 identity rounds negative on
+    # (near-)constant channels; past -eps that's rsqrt(negative)=NaN.
+    var = jnp.maximum(jnp.mean(jnp.square(pf), axis=0) - jnp.square(mean),
+                      0.0)
     inv = jax.lax.rsqrt(var + eps)
     xhat = (pf - mean) * inv
     return xhat, mean, var

@@ -137,7 +137,11 @@ def _make_pool_sweep(dtype, pool: int, precision):
 
 def _finalize(s, ss, n):
     mean = s[0] / n
-    var = ss[0] / n - mean * mean
+    # The E[x^2] - E[x]^2 identity can round NEGATIVE for (near-)constant
+    # channels; past -eps that is rsqrt(negative) = NaN (hit by degenerate
+    # all-zero synthetic videos, round-4 verify drive). Clamp at 0, like
+    # torch's direct E[(x-mean)^2] formulation is by construction.
+    var = jnp.maximum(ss[0] / n - mean * mean, 0.0)
     return mean, var
 
 
@@ -227,7 +231,7 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     mean3 = (ch2[0] @ w3f) / n + b3f
     e2 = (jnp.einsum("ic,ic->c", G2 @ w3f, w3f) / n
           + b3f * (2.0 * mean3 - b3f))
-    var3 = e2 - mean3 * mean3
+    var3 = jnp.maximum(e2 - mean3 * mean3, 0.0)  # see _finalize
     mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
 
     # Sweep 4: p2 -> pooled.

@@ -208,7 +208,8 @@ def _make_unified_fwd_kernel(L, pool, eps, dtype, rows, widths, cmax):
             @pl.when((p == li + 1) & (t == 0))
             def _(li=li):
                 mean = sums_s[li, 0, :] / rows
-                var = sums_s[li, 1, :] / rows - mean * mean
+                var = jnp.maximum(
+                    sums_s[li, 1, :] / rows - mean * mean, 0.0)
                 stats_s[li, 0, :] = mean
                 stats_s[li, 1, :] = jax.lax.rsqrt(var + eps)
 
@@ -234,7 +235,8 @@ def _make_unified_fwd_kernel(L, pool, eps, dtype, rows, widths, cmax):
             def _():
                 for li in range(L):
                     mean = sums_s[li, 0, :] / rows
-                    var = sums_s[li, 1, :] / rows - mean * mean
+                    var = jnp.maximum(
+                        sums_s[li, 1, :] / rows - mean * mean, 0.0)
                     stats_out[li, 0, :] = mean
                     stats_out[li, 1, :] = stats_s[li, 1, :]
                     stats_out[li, 2, :] = var
@@ -324,7 +326,7 @@ def sa_train_forward_pallas(
             pl.BlockSpec((2, c), lambda t: (0, 0), memory_space=pltpu.VMEM),
             tile, interpret=interpret)
         mean = sums[0] / R
-        var = sums[1] / R - mean * mean
+        var = jnp.maximum(sums[1] / R - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + eps)
         means.append(mean)
         vars_.append(var)
