@@ -35,6 +35,7 @@ def tiny_cfg_file(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_pretrain_resume_extract_probe(cli_root, tiny_cfg_file, tmp_path):
     from facl_tpu.cli import extract, pretrain, probe
     root, names = cli_root
@@ -63,6 +64,7 @@ def test_pretrain_resume_extract_probe(cli_root, tiny_cfg_file, tmp_path):
                 "--appearance-features", feat, "--epochs", "3"])
 
 
+@pytest.mark.slow
 def test_pretrain_extract_mesh_cli(cli_root, tmp_path):
     """--mesh end to end on the virtual 8-device CPU mesh (dp=2 so the
     tiny batch shards): pretrain one epoch with the flagship pair SA
@@ -96,6 +98,7 @@ def test_pretrain_extract_mesh_cli(cli_root, tmp_path):
     assert f0.shape == (11 * 16,)
 
 
+@pytest.mark.slow
 def test_moco_cli(cli_root, tiny_cfg_file, tmp_path):
     from facl_tpu.cli import moco
     root, names = cli_root

@@ -218,6 +218,7 @@ def test_clip_generator_batch_matches_single_and_pads():
                                        err_msg=f"{tag} {k}")
 
 
+@pytest.mark.slow
 def test_generate_dataset_clip_batch_matches_default(tmp_path):
     """generate_dataset(clip_batch=N) writes an identical tree to the
     per-clip driver (randomness is keyed per video)."""
@@ -266,6 +267,7 @@ def test_generate_dataset_limit_exact_with_pipelining(tmp_path):
     assert len(raws) == 3
 
 
+@pytest.mark.slow
 def test_generate_dataset_walks_ntu_tree(tmp_path):
     """The host driver walks <root>/<setup>/nturgb+d_depth_masked/<video>/
     and writes the reference's output layout (generate_NTU.py:86-112)."""

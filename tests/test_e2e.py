@@ -38,6 +38,7 @@ def small_cfg(stream):
     )
 
 
+@pytest.mark.slow
 def test_full_pipeline(pipeline_root):
     root, names = pipeline_root
     feats = {}

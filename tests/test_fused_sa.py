@@ -50,6 +50,7 @@ def test_forward_matches_reference(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_backward_matches_autodiff(rng):
     R, K = 128, 8
     x = jnp.asarray(rng.normal(size=(R, 4)).astype(np.float32))
@@ -130,6 +131,7 @@ def test_tie_gradients_match(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unified_kernels_match_multicall(rng):
     from facl_tpu.ops.pallas.sa_kernel import (
         sa_train_backward_unified, sa_train_forward_unified)
@@ -159,6 +161,7 @@ def test_unified_kernels_match_multicall(rng):
                                        rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_mode_close_to_f32(rng):
     """bf16 in-kernel elementwise: results track the f32 path within bf16
     tolerance (the kernels' production fast path)."""

@@ -1,6 +1,7 @@
 """Encoder forward tests: shapes, the 4-output contract, global-branch
 semantics (cn3d_model_conbag.py:213-234), BN train/eval behavior."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +81,7 @@ def test_eval_uses_running_stats(rng):
     np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]))
 
 
+@pytest.mark.slow
 def test_slowfast_forward(rng):
     cfg = small_cfg()
     B = 4
@@ -156,6 +158,7 @@ def test_grouping_approx_method(rng):
     assert agree > 0.8
 
 
+@pytest.mark.slow
 def test_slowfast_trainer_step(rng):
     from facl_tpu.config import (Config, GroupingConfig, TrainConfig,
                                  OptimConfig)

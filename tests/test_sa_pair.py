@@ -61,6 +61,7 @@ def test_pair_grad_matches_autodiff(rng, slim):
                                        err_msg=name)
 
 
+@pytest.mark.slow
 def test_pair_bf16_statistical_parity(rng):
     """Same statistical bar as hybrid2 (tests/test_sa_pfwd.py): bf16
     pool ties regroup under the different moment reduction order."""
@@ -209,6 +210,7 @@ def test_stage_pair_rejects_input_grad(rng):
         stage.init(jax.random.PRNGKey(0), x, train=True)
 
 
+@pytest.mark.slow
 def test_train_step_channels_first_pair_parity(rng):
     """The flagship combination (sa_impl=pair + channel-major
     neighborhoods) runs the full fused train step and matches the
@@ -247,6 +249,7 @@ def test_train_step_channels_first_pair_parity(rng):
 
 @pytest.mark.parametrize("cf", [False, True])
 @pytest.mark.parametrize("slim", [False, True])
+@pytest.mark.slow
 def test_sharded_pair_matches_unsharded(rng, cf, slim):
     """make_sharded_pair on the 8-device CPU mesh: per-shard Pallas
     sweeps + psum'd global BN statistics must reproduce the unsharded

@@ -2,6 +2,7 @@
 step under GSPMD jit with the batch sharded over dp, parity against the
 unsharded step, and mp tensor sharding of the FC kernels."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -29,6 +30,7 @@ def test_mesh_shapes():
     assert mesh.shape["dp"] == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded(rng):
     cfg = tiny_config()
     G, B, N, C = cfg.model.num_crops, 8, 32, 4
@@ -137,6 +139,7 @@ def test_mesh_aware_grouping_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_swav_and_cld_under_mesh(rng):
     """SwAV (queue state) and CLD run sharded over the 8-device dp mesh and
     match the unsharded step — removes the round-1 'plumbed but
@@ -176,6 +179,7 @@ def test_swav_and_cld_under_mesh(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_aware_trainer_step(rng):
     """Full step with a mesh-aware trainer on the dp mesh matches the
     meshless trainer."""
@@ -207,6 +211,7 @@ def test_mesh_aware_trainer_step(rng):
                                    rtol=5e-3, atol=2 * lr)
 
 
+@pytest.mark.slow
 def test_mesh_aware_pair_sa_step_matches_unsharded(rng):
     """The flagship pair SA path on the dp mesh: per-shard Pallas
     sweeps under shard_map with global BN statistics
@@ -259,6 +264,7 @@ def test_mesh_aware_pair_sa_step_matches_unsharded(rng):
                                        err_msg=impl)
 
 
+@pytest.mark.slow
 def test_slowfast_sharded_step_matches_unsharded(rng):
     """The slow/fast trainer's plain GSPMD jit step handles a
     dp-sharded batch: loss and updates match the unsharded run (the
@@ -292,6 +298,7 @@ def test_slowfast_sharded_step_matches_unsharded(rng):
                                    rtol=5e-3, atol=2 * lr)
 
 
+@pytest.mark.slow
 def test_moco_sharded_step_matches_unsharded(rng):
     """MoCo on the dp mesh (VERDICT r2 item 7): dp-sharded 2-view batches,
     replicated ring queue updated from the (implicitly all-gathered) global
@@ -358,6 +365,7 @@ def _collective_shapes(hlo_text):
     return out
 
 
+@pytest.mark.slow
 def test_no_neighborhood_collectives_in_sharded_step(rng):
     """Batch-major rows (ROADMAP item 7 / VERDICT r2 item 5): with the
     dp-sharded batch entering as (G, B@dp, N, C), every merge/split of

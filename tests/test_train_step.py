@@ -135,6 +135,7 @@ def test_lr_schedule_matches_steplr():
     assert float(sched(800)) == pytest.approx(3e-4 * 0.49)
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     from facl_tpu.train.checkpoint import (restore_checkpoint_orbax,
                                            save_checkpoint_orbax)
