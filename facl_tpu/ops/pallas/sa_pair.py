@@ -81,10 +81,7 @@ from facl_tpu.ops.pallas.sa_bwd import (
     _h_from_p,
     _layer_terms,
 )
-from facl_tpu.ops.pallas.sa_fwd import (
-    _finalize,
-    _make_gram_sweep,
-)
+from facl_tpu.ops.pallas.sa_fwd import _finalize
 
 Array = jax.Array
 f32 = jnp.float32
@@ -175,45 +172,75 @@ def _make_pair_layer12_kernel(dtype, precision, cf: bool):
     return kernel
 
 
-def _make_pool_idx_sweep(dtype, pool: int, precision):
-    """Forward sweep 4 + argmax residual: sa_fwd._make_pool_sweep with a
-    second output recording, per (pool group, channel), the in-group row
-    index of the max — selected on the f32 pre-cast activations z (the
-    same basis backward tie selection already used) with sentinel
-    ``pool`` when the group max is <= 0 (ReLU-dead: no gradient flows).
-    Backward sweep 1 then rebuilds dy3 with one compare instead of
-    recomputing the whole wide top layer (h2@W3 + affine + max + ties).
+def _make_gram_pool_sweep(dtype, pool: int, precision):
+    """Merged forward sweep 3 (round 4): ONE pass over the p2 residual
+    produces BOTH the layer-3 moment inputs (Gram(h2)/colsum(h2)
+    accumulators) and the pool candidates — per (pool group, channel)
+    the max AND min of the raw paired ``p3 = h2 @ W3 + b3`` with their
+    first-row in-group indices. Replaces rounds 2-3's separate Gram
+    sweep + pool sweep: one fewer full HBM read of p2p and one fewer BN
+    launch barrier.
 
+    The layer-3 folded affine is NOT needed in-kernel: the pooled
+    activation is max over relu(bf16(p3_f32*mul3 + shift3)), a
+    per-channel monotone chain in p3 — nondecreasing when mul3 >= 0,
+    nonincreasing when mul3 < 0 — and a max commutes EXACTLY with a
+    monotone f even under rounding (f(x_max) >= f(x_i) elementwise). So
+    XLA selects max or min per channel once mean3/var3 finalize from
+    the Gram accumulators and applies the affine to one row per group
+    (sa_forward_pair), bit-identical to the in-kernel form for
+    mul3 != 0.
+
+    The index residual feeds backward sweep 1's dy3 rebuild (one
+    compare per element instead of recomputing the wide top layer).
     Routing is winner-take-all (first max row) — the reference's own
     semantics (torch max_pool backward routes to the argmax,
-    cn3d_model_conbag.py:80). For ties caused by duplicated input rows
-    (ball-query centroid padding makes these common) every accumulated
-    weight-gradient bilinear form is exactly invariant to how dpooled is
-    distributed among the tied rows, since their h/x/mask values are
-    identical."""
+    cn3d_model_conbag.py:80); the ReLU-dead sentinel (``pool`` when the
+    group's activation never exceeds 0) is applied in XLA where zstar
+    is known. For ties caused by duplicated input rows (ball-query
+    centroid padding makes these common) every accumulated
+    weight-gradient bilinear form is exactly invariant to how dpooled
+    is distributed among the tied rows, since their h/x/mask values are
+    identical; the tie SET on p3 equals the tie set on z for any
+    mul3 != 0 (the affine is injective per channel)."""
 
-    def kernel(w_ref, b_ref, mul2_ref, shift2_ref, mul3_ref, shift3_ref,
-               p_ref, out_ref, idx_ref):
+    def kernel(w_ref, b_ref, mul2_ref, shift2_ref, p_ref,
+               g_ref, c_ref, mx_ref, mn_ref, imx_ref, imn_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            g_ref[...] = jnp.zeros_like(g_ref)
+            c_ref[...] = jnp.zeros_like(c_ref)
+
         h2 = _h_from_p(p_ref[...], mul2_ref[0], shift2_ref[0], dtype)
+        g_ref[...] += jax.lax.dot_general(
+            h2, h2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        c_ref[0, :] += jnp.sum(h2.astype(f32), axis=0)
         d = jax.lax.dot_general(
             h2, w_ref[...].astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=precision)
         p3 = d.astype(dtype) + b_ref[0].astype(dtype)[None, :]
-        z = (p3.astype(f32) * mul3_ref[0][None, :]
-             + shift3_ref[0][None, :])
-        y = z.astype(dtype)
-        h3 = jnp.maximum(y, jnp.zeros_like(y))
-        T, C = h3.shape
+        T, C = p3.shape
         g = T // pool
-        out_ref[...] = jnp.max(h3.reshape(g, pool, C), axis=1)
-        zg = z.reshape(g, pool, C)
-        mx = jnp.max(zg, axis=1, keepdims=True)
-        io = jax.lax.broadcasted_iota(jnp.int32, (g, pool, C), 1)
-        iof = io.astype(f32)
-        idx = jnp.min(jnp.where(zg == mx, iof, float(pool)), axis=1)
-        idx_ref[...] = jnp.where(mx[:, 0, :] > 0.0, idx,
-                                 float(pool)).astype(dtype)
+        # Extrema + in-group first-index residuals. All in f32 with
+        # keepdims broadcasting — the exact op pattern of the r2/r3 pool
+        # sweep (Mosaic rejects bf16 vector compares and relayouts of
+        # squeezed-axis broadcasts); the f32 upcast of bf16 p3 is exact,
+        # so bf16(max of upcasts) == max of the bf16 values.
+        pgf = p3.astype(f32).reshape(g, pool, C)
+        mxf = jnp.max(pgf, axis=1, keepdims=True)
+        mnf = jnp.min(pgf, axis=1, keepdims=True)
+        mx_ref[...] = mxf[:, 0, :].astype(dtype)
+        mn_ref[...] = mnf[:, 0, :].astype(dtype)
+        io = jax.lax.broadcasted_iota(jnp.int32, (g, pool, C),
+                                      1).astype(f32)
+        imx_ref[...] = jnp.min(jnp.where(pgf == mxf, io, float(pool)),
+                               axis=1).astype(dtype)
+        imn_ref[...] = jnp.min(jnp.where(pgf == mnf, io, float(pool)),
+                               axis=1).astype(dtype)
 
     return kernel
 
@@ -508,8 +535,10 @@ def _x_specs(x, C0, tile, Rh):
 def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
                     interpret: bool = False, slim: bool = False,
                     axis_name=None):
-    """3-sweep paired forward (fused layer-1+2 sweep, Gram sweep, pool
-    sweep; layer-1 BN moments via the XLA Gram(x) covariance identity).
+    """2-sweep paired forward (fused layer-1+2 sweep, merged Gram+pool
+    sweep; layer-1 BN moments via the XLA Gram(x) covariance identity,
+    layer-3 pool finalized in XLA from raw-p3 max/min candidates —
+    see _make_gram_pool_sweep).
     xf: (R, C0) flattened rows OR (B, C0, N) channels-first (compute
     dtype), R/2 a multiple of ``pool``. Returns
     (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2),
@@ -567,7 +596,7 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     mean1 = (cx @ w1f) / n + b1f
     e1 = (jnp.einsum("ic,ic->c", Gx @ w1f, w1f) / n
           + b1f * (2.0 * mean1 - b1f))
-    var1 = e1 - mean1 * mean1
+    var1 = jnp.maximum(e1 - mean1 * mean1, 0.0)  # see sa_fwd._finalize
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
 
     # Fused sweep 1+2: x (lo/hi halves) -> paired p1 AND p2 + p2 moments.
@@ -593,19 +622,35 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
                             _g(_foldlanes(ss2, C2)), n)
     mul2, shift2 = _fold_affine(lp2, mean2, var2, eps)
 
-    # Sweep 3: Gram/colsum of paired h2 -> layer-3 moments via the
-    # covariance identity (fold the halves first; cross blocks unused).
-    Gp, chp = pl.pallas_call(
-        _make_gram_sweep(dtype, precision),
-        grid=(Rh // Tl,),
-        in_specs=[_const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-                  _tile_spec(Tl, 2 * C2)],
+    # Merged sweep 3 (round 4): one pass over p2p yields the Gram(h2)/
+    # colsum(h2) accumulators AND the raw-p3 pool candidates (max/min +
+    # indices) — the layer-3 affine is applied afterwards in XLA, which
+    # is exact because pooling commutes with the per-channel monotone
+    # affine+cast+ReLU chain (_make_gram_pool_sweep docstring).
+    gp = Rh // pool
+    Gp, chp, maxp, minp, imx, imn = pl.pallas_call(
+        _make_gram_pool_sweep(dtype, pool, precision),
+        grid=(Rh // Tp,),
+        in_specs=[
+            _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
+            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+            _tile_spec(Tp, 2 * C2),
+        ],
         out_specs=(_const_spec((2 * C2, 2 * C2)),
-                   _const_spec((1, 2 * C2))),
+                   _const_spec((1, 2 * C2)),
+                   _tile_spec(Tp // pool, 2 * C3),
+                   _tile_spec(Tp // pool, 2 * C3),
+                   _tile_spec(Tp // pool, 2 * C3),
+                   _tile_spec(Tp // pool, 2 * C3)),
         out_shape=(jax.ShapeDtypeStruct((2 * C2, 2 * C2), f32),
-                   jax.ShapeDtypeStruct((1, 2 * C2), f32)),
+                   jax.ShapeDtypeStruct((1, 2 * C2), f32),
+                   jax.ShapeDtypeStruct((gp, 2 * C3), dtype),
+                   jax.ShapeDtypeStruct((gp, 2 * C3), dtype),
+                   jax.ShapeDtypeStruct((gp, 2 * C3), dtype),
+                   jax.ShapeDtypeStruct((gp, 2 * C3), dtype)),
         interpret=interpret,
-    )(_pair2(mul2), _pair2(shift2), p2p)
+    )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul2),
+      _pair2(shift2), p2p)
     G2 = _g(_fold2(Gp, C2, C2))
     ch2 = _g(_foldlanes(chp, C2)[0])
     w3f = lp3.kernel.astype(f32)
@@ -613,27 +658,20 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     mean3 = (ch2 @ w3f) / n + b3f
     e2 = (jnp.einsum("ic,ic->c", G2 @ w3f, w3f) / n
           + b3f * (2.0 * mean3 - b3f))
-    var3 = e2 - mean3 * mean3
+    var3 = jnp.maximum(e2 - mean3 * mean3, 0.0)  # see sa_fwd._finalize
     mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
 
-    # Sweep 4: paired p2 -> paired pooled (rows [g | g + P/2]) + the
-    # pool-argmax residual for backward sweep 1.
-    pooled_p, idxp = pl.pallas_call(
-        _make_pool_idx_sweep(dtype, pool, precision),
-        grid=(Rh // Tp,),
-        in_specs=[
-            _const_spec((2 * C2, 2 * C3)), _const_spec((1, 2 * C3)),
-            _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-            _const_spec((1, 2 * C3)), _const_spec((1, 2 * C3)),
-            _tile_spec(Tp, 2 * C2),
-        ],
-        out_specs=(_tile_spec(Tp // pool, 2 * C3),
-                   _tile_spec(Tp // pool, 2 * C3)),
-        out_shape=(jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype),
-                   jax.ShapeDtypeStruct((Rh // pool, 2 * C3), dtype)),
-        interpret=interpret,
-    )(_blkdiag(lp3.kernel), _pair2(lp3.bias), _pair2(mul2),
-      _pair2(shift2), _pair2(mul3), _pair2(shift3), p2p)
+    # Finalize the pool in XLA on the (Rh/pool, 2C3) candidates: pick
+    # max (mul3 >= 0) or min per channel, one affine per group row.
+    mul3p, shift3p = _pair2(mul3), _pair2(shift3)
+    sel = mul3p >= 0.0
+    zstar = (jnp.where(sel, maxp.astype(f32), minp.astype(f32))
+             * mul3p + shift3p)
+    pooled_p = jnp.maximum(zstar.astype(dtype),
+                           jnp.zeros((), dtype))
+    idxp = jnp.where(zstar > 0.0,
+                     jnp.where(sel, imx, imn).astype(f32),
+                     float(pool)).astype(dtype)
     pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
 
     stats = [(mean1, var1), (mean2, var2), (mean3, var3)]

@@ -61,6 +61,50 @@ def test_pair_grad_matches_autodiff(rng, slim):
                                        err_msg=name)
 
 
+@pytest.mark.parametrize("slim", [False, True])
+def test_pair_negative_scale_hits_min_branch(rng, slim):
+    """The merged Gram+pool sweep (round 4) emits raw-p3 max AND min per
+    pool group and XLA selects by sign(mul3): a NEGATIVE layer-3 BN
+    scale flips the monotone chain so the pooled max comes from the
+    p3 MIN row. Default-init tests never exercise that branch (scale=1);
+    this one forces several negative scale_3 channels and holds forward
+    AND gradients to the reference."""
+    B, S, K, C = 2, 4, 8, 4
+    widths = (8, 8, 16)
+    x = jnp.asarray(rng.normal(size=(B, S, K, C)).astype(np.float32))
+    layers = list(make_layers(rng, widths, C))
+    lp3 = layers[-1]
+    sc = np.asarray(lp3.scale).copy()
+    sc[::2] *= -1.0              # half the channels take the min branch
+    layers[-1] = lp3._replace(scale=jnp.asarray(sc))
+    layers = tuple(layers)
+    eps = 1e-5
+
+    pooled_p, stats_p = sa_train_pair(x, layers, eps, jnp.float32, True,
+                                      slim)
+    pooled_r, stats_r = reference_forward(x, layers, eps, jnp.float32)
+    np.testing.assert_allclose(np.asarray(pooled_p), np.asarray(pooled_r),
+                               rtol=1e-4, atol=1e-5)
+
+    wvec = jnp.asarray(rng.normal(size=(widths[-1],)).astype(np.float32))
+
+    def loss(fn, extra=()):
+        def f(layers):
+            pooled, _ = fn(x, layers, eps, jnp.float32, *extra)
+            return jnp.sum(jnp.sin(pooled.astype(jnp.float32)) * wvec)
+        return f
+
+    gl_p = jax.grad(loss(sa_train_pair, (True, slim)))(layers)
+    gl_r = jax.grad(loss(reference_forward))(layers)
+    for lp, lr in zip(gl_p, gl_r):
+        for name in ("kernel", "scale", "shift"):
+            p = np.asarray(getattr(lp, name), np.float32)
+            r = np.asarray(getattr(lr, name), np.float32)
+            sc_ = max(1.0, float(np.abs(r).max()))
+            np.testing.assert_allclose(p, r, rtol=2e-3, atol=2e-3 * sc_,
+                                       err_msg=name)
+
+
 @pytest.mark.slow
 def test_pair_bf16_statistical_parity(rng):
     """Same statistical bar as hybrid2 (tests/test_sa_pfwd.py): bf16
