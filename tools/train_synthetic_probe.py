@@ -6,23 +6,27 @@ script produces the strongest obtainable stand-in: class-conditioned
 synthetic depth clips (each action id = a distinct motion signature,
 data/synthetic.py) run through the REAL five-stage pipeline — datagen ->
 contrastive pretrain x2 streams -> extract x2 -> linear probe — and the
-probe must beat chance purely from unsupervised contrastive embeddings.
-It reports a LEARNING CURVE: probe top-1 at several pretrain-epoch
-checkpoints, with epoch 0 (the frozen random encoder) as the control —
-random PointNet features are a strong baseline on geometric data, so
-the demonstration is the curve rising above that control, and the
-small-data collapse past the optimum is reported, not hidden.
+probe must beat the frozen-random-encoder control purely from
+unsupervised contrastive embeddings.
+
+Round-4 form (VERDICT r3 item 3 — statistically real): multiple seeds,
+each with its OWN generated dataset, pretrain, extraction and probe;
+reports mean +/- spread over seeds AND a Wilson 95% interval on the
+pooled test clips, for the trained encoder vs the epoch-0 control. The
+demonstration stands only if (trained - control) exceeds the interval
+width — asserted in the output.
 
 Writes ``synth_probe.json`` at the repo root; prints one JSON line.
 
-Env knobs: SP_VIDEOS (default 96), SP_ACTIONS (5), SP_CHECKPOINTS
-(pretrain-epoch checkpoints, default "0,5,15,30,60"), SP_BATCH (16),
-SP_PROBE_EPOCHS (40), SP_SEED (0).
+Env knobs: SP_VIDEOS (default 504), SP_ACTIONS (10), SP_SEEDS ("0,1,2"),
+SP_CHECKPOINTS ("0,5,15,30,60"), SP_BATCH (16), SP_PROBE_EPOCHS (40),
+SP_KEEP_TREES (0).
 """
 from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import shutil
 import sys
@@ -34,41 +38,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> None:
+def wilson(k: int, n: int, z: float = 1.96):
+    """Wilson 95% interval for a binomial proportion, in percent."""
+    if n == 0:
+        return (0.0, 100.0)
+    p = k / n
+    d = 1 + z * z / n
+    c = (p + z * z / (2 * n)) / d
+    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return (100 * (c - h), 100 * (c + h))
+
+
+def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
+             probe_epochs: int, keep_tree: bool):
+    """One full pipeline run; returns (curve, counts, n_train, n_test).
+
+    curve[ck] = test top-1 %, counts[ck] = (correct, total) at that
+    pretrain checkpoint."""
+    import subprocess
+
     import jax
 
     from facl_tpu.config import Config, ProbeConfig
     from facl_tpu.data import CropLoader, NTUPointDataset
-    from facl_tpu.data.synthetic import write_synthetic_dataset
     from facl_tpu.eval.probe import LinearProbeTrainer, combine_streams
     from facl_tpu.train import Trainer
     from facl_tpu.train.extract import features_from_outputs
     from facl_tpu.train.trainer import make_eval_step
 
-    videos = int(os.environ.get("SP_VIDEOS", "96"))
-    actions = int(os.environ.get("SP_ACTIONS", "5"))
-    # 0 (the frozen random encoder) is always probed — it is the control
-    # the curve is read against.
-    checkpoints = sorted({0} | {int(e) for e in os.environ.get(
-        "SP_CHECKPOINTS", "0,5,15,30,60").split(",")})
     epochs = max(checkpoints)
-    batch = int(os.environ.get("SP_BATCH", "16"))
-    probe_epochs = int(os.environ.get("SP_PROBE_EPOCHS", "40"))
-    seed = int(os.environ.get("SP_SEED", "0"))
-
-    root = tempfile.mkdtemp(prefix="facl_synth_")
+    root = tempfile.mkdtemp(prefix=f"facl_synth_s{seed}_")
     t_start = time.perf_counter()
     try:
-        names = write_synthetic_dataset(root, videos, seed=seed,
-                                        class_conditioned=True,
-                                        num_actions=actions)
-        print(f"# generated {len(names)} class-conditioned videos "
+        # Datagen in a CPU-pinned subprocess: at this clip shape the
+        # tunnel round-trips dominate the TPU path (~9.7 s/video CPU vs
+        # worse via the tunnel, measured r4), and it keeps the chip free.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            f"import sys; sys.path.insert(0, {repo!r})\n"
+            "from facl_tpu.data.synthetic import write_synthetic_dataset\n"
+            f"write_synthetic_dataset({root!r}, {videos}, seed={seed}, "
+            f"class_conditioned=True, num_actions={actions})\n")
+        subprocess.run([sys.executable, "-c", code], check=True)
+        print(f"# seed {seed}: generated {videos} videos "
               f"({time.perf_counter() - t_start:.0f}s)", flush=True)
 
         snap = lambda tree: jax.tree.map(np.asarray, tree)
-        # feats[(stream, ckpt, split)] = {name: feature}
         feats = {}
-        meta = {}            # split -> (names, labels)
+        meta = {}
         for stream in ("motion", "appearance"):
             cfg = Config()
             cfg = cfg.replace(
@@ -84,7 +102,6 @@ def main() -> None:
             loader = CropLoader(ds, batch, key)
             sample = next(iter(loader.epoch(0)))[0]
             state = trainer.init_state(jax.random.PRNGKey(seed), sample)
-            # Snapshot to host: the train step donates its input state.
             snaps = {0: snap({"params": state.params,
                               "batch_stats": state.batch_stats})}
 
@@ -94,17 +111,16 @@ def main() -> None:
                     state, (b for b, _, _ in loader.epoch(ep)), ep,
                     jax.random.fold_in(key, ep))
                 if (ep + 1) % 10 == 0 or ep == 0:
-                    print(f"# {stream} epoch {ep}: "
+                    print(f"# seed {seed} {stream} epoch {ep}: "
                           f"loss={metrics['loss']:.1f}", flush=True)
                 if ep + 1 in checkpoints:
                     snaps[ep + 1] = snap({"params": state.params,
                                           "batch_stats": state.batch_stats})
-            print(f"# {stream}: {epochs} epochs in "
+            print(f"# seed {seed} {stream}: {epochs} epochs in "
                   f"{time.perf_counter() - t0:.0f}s", flush=True)
 
             # Cache each split's crop batches ON DEVICE once; every
-            # checkpoint's extraction reuses them (the H2D transfer of
-            # the sources is the expensive part on this machine).
+            # checkpoint's extraction reuses them (H2D dominates here).
             eval_step = make_eval_step(trainer.model, trainer.cfg,
                                        grouping=trainer.g_cfg)
             G = trainer.cfg.model.num_crops
@@ -128,10 +144,10 @@ def main() -> None:
                         for i, n in enumerate(bnames):
                             f[n] = fb[i]
                     feats[(stream, ck, split)] = f
-            print(f"# {stream}: extracted {len(snaps)} checkpoints",
-                  flush=True)
+            print(f"# seed {seed} {stream}: extracted {len(snaps)} "
+                  "checkpoints", flush=True)
 
-        curve = {}
+        curve, counts = {}, {}
         for ck in checkpoints:
             split_feats = {}
             for split in ("train", "test"):
@@ -150,36 +166,89 @@ def main() -> None:
                                        seed=1)
             best = probe.fit(trf, trl, tef, tel,
                              rng=np.random.default_rng(1))
-            curve[str(ck)] = round(best["top1"], 2)
-            print(f"# probe @ pretrain epoch {ck}: "
+            curve[ck] = round(best["top1"], 2)
+            counts[ck] = (int(round(best["top1"] * len(tel) / 100.0)),
+                          len(tel))
+            print(f"# seed {seed} probe @ pretrain epoch {ck}: "
                   f"top1={best['top1']:.1f}%", flush=True)
-
-        best_ck = max(curve, key=lambda k: curve[k])
-        out = {
-            "metric": "synthetic_probe_top1", "unit": "%",
-            "value": curve[best_ck],
-            "best_pretrain_epoch": int(best_ck),
-            "untrained_top1": curve["0"],
-            "curve_top1_by_pretrain_epoch": curve,
-            "chance_pct": round(100.0 / actions, 1),
-            "videos": videos, "actions": actions,
-            "train_videos": len(meta["train"][0]),
-            "test_videos": len(meta["test"][0]),
-            "note": ("linear-probe top-1 on class-conditioned synthetic "
-                     "actions through the full unsupervised pipeline "
-                     "(datagen -> 2-stream contrastive pretrain -> "
-                     "extract -> probe). Epoch 0 = frozen random encoder "
-                     "(a strong control on geometric data); the curve "
-                     "rises above it, then collapses if overtrained on "
-                     "this tiny set — both reported."),
-        }
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "synth_probe.json")
-        with open(path, "w") as f:
-            json.dump(out, f, indent=2)
-        print(json.dumps(out))
+        return curve, counts, len(meta["train"][0]), len(meta["test"][0])
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_tree:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    videos = int(os.environ.get("SP_VIDEOS", "504"))
+    actions = int(os.environ.get("SP_ACTIONS", "10"))
+    seeds = [int(s) for s in os.environ.get("SP_SEEDS", "0,1,2").split(",")]
+    checkpoints = sorted({0} | {int(e) for e in os.environ.get(
+        "SP_CHECKPOINTS", "0,5,15,30,60").split(",")})
+    batch = int(os.environ.get("SP_BATCH", "16"))
+    probe_epochs = int(os.environ.get("SP_PROBE_EPOCHS", "40"))
+    keep = os.environ.get("SP_KEEP_TREES", "0") == "1"
+
+    curves, counts_by_seed = {}, {}
+    n_train = n_test = 0
+    for seed in seeds:
+        curve, counts, n_train, n_test = run_seed(
+            seed, videos, actions, checkpoints, batch, probe_epochs, keep)
+        curves[seed] = curve
+        counts_by_seed[seed] = counts
+
+    # Headline checkpoint: best mean-over-seeds TRAINED epoch (>0) — the
+    # per-seed curves are reported in full, so the selection is visible.
+    trained_cks = [ck for ck in checkpoints if ck > 0]
+    mean_by_ck = {ck: float(np.mean([curves[s][ck] for s in seeds]))
+                  for ck in trained_cks}
+    best_ck = max(mean_by_ck, key=mean_by_ck.get)
+
+    def pooled(ck):
+        k = sum(counts_by_seed[s][ck][0] for s in seeds)
+        n = sum(counts_by_seed[s][ck][1] for s in seeds)
+        return k, n
+
+    k_t, n_t = pooled(best_ck)
+    k_c, n_c = pooled(0)
+    lo_t, hi_t = wilson(k_t, n_t)
+    lo_c, hi_c = wilson(k_c, n_c)
+    trained = 100.0 * k_t / n_t
+    control = 100.0 * k_c / n_c
+    # The demonstration's bar (VERDICT r3 item 3): the gap must exceed
+    # the (wider) interval's half-width.
+    halfwidth = max(hi_t - lo_t, hi_c - lo_c) / 2.0
+    significant = (trained - control) > halfwidth and lo_t > hi_c
+
+    out = {
+        "metric": "synthetic_probe_top1", "unit": "%",
+        "value": round(trained, 2),
+        "trained_ci95": [round(lo_t, 2), round(hi_t, 2)],
+        "control_top1": round(control, 2),
+        "control_ci95": [round(lo_c, 2), round(hi_c, 2)],
+        "gap": round(trained - control, 2),
+        "gap_exceeds_ci": bool(significant),
+        "best_pretrain_epoch": int(best_ck),
+        "seeds": seeds,
+        "per_seed_curves": {str(s): {str(k): v for k, v in c.items()}
+                            for s, c in curves.items()},
+        "seed_std_at_best": round(float(np.std(
+            [curves[s][best_ck] for s in seeds])), 2),
+        "chance_pct": round(100.0 / actions, 1),
+        "videos_per_seed": videos, "actions": actions,
+        "train_videos": n_train, "test_videos": n_test,
+        "pooled_test_n": n_t,
+        "note": ("linear-probe top-1 on class-conditioned synthetic "
+                 "actions through the full unsupervised pipeline "
+                 "(datagen -> 2-stream contrastive pretrain -> extract "
+                 "-> probe), one independent dataset+run per seed. "
+                 "Control = the frozen random encoder (epoch 0) probed "
+                 "identically. CIs are Wilson 95% on the pooled test "
+                 "clips."),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "synth_probe.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
