@@ -32,20 +32,24 @@ Layout invariants:
   (left + right) on the host — a reduction-order change vs the
   unpaired sweeps, within the same allclose parity bar as hybrid2's
   tile-partial sums.
-* The p1/p2 residuals are written and re-read in paired layout; only
+* The p2 residual is written and re-read in paired layout; p1 is never
+  materialized (the backward recomputes it from x, _p1_from_xp); only
   x, pooled, and dpooled cross the pairing boundary.
 
-The forward is THREE Pallas sweeps (+ one cheap XLA pass): layer-1 BN
+The forward is TWO Pallas sweeps (+ one cheap XLA pass): layer-1 BN
 moments come from the covariance identity on Gram(x)/colsum(x) — XLA
 computes them over the C0=4-wide input before any sweep — so layers 1
-and 2 run as ONE fused sweep (x -> p1 + p2 + p2 moments, no HBM
-re-read of p1 between them and one fewer BN barrier); the Gram(h2)
-sweep reuses the hybrid2 kernel maker (shape-generic); the pool sweep
-additionally emits the pool-argmax residual. The x-touching sweeps
-need paired variants (the input halves arrive as two operands, and
-the non-slim backward's layer-1 coupling blocks (m1*x_i)^T h1 need
-each half's x column broadcast over its own 64 lanes); the backward
-sweeps are padding-tight rewrites (see each kernel's docstring).
+and 2 run as ONE fused sweep (x -> p2 + p2 moments, p1 consumed
+in-VMEM and one fewer BN barrier); the merged Gram+pool sweep emits
+the Gram(h2)/colsum(h2) accumulators AND the raw-p3 pool candidates
+(max/min + first-index residuals) in one pass over p2, with the
+layer-3 affine applied in XLA once its moments finalize
+(_make_gram_pool_sweep — exact, by monotone-commutation with the
+pool). The x-touching sweeps need paired variants (the input halves
+arrive as two operands, and the non-slim backward's layer-1 coupling
+blocks (m1*x_i)^T h1 need each half's x column broadcast over its own
+64 lanes); the backward sweeps are padding-tight rewrites (see each
+kernel's docstring).
 
 Two backward modes (``slim``, exposed as ``sa_impl="pair3"``):
 
@@ -127,12 +131,13 @@ def _make_pair_layer12_kernel(dtype, precision, cf: bool):
     computed by XLA in one pass over the C0=4-wide input (~1% of one
     residual's bytes) BEFORE the sweep — see sa_forward_pair. Compared
     to the round-2 two-sweep forward this removes one full HBM read of
-    the p1 residual and one BN launch barrier; the stored p1 tile is
-    re-consumed from VMEM (h1 = affine+ReLU of the stored-cast value,
-    bit-identical to what the backward recomputes from p1p)."""
+    the p1 residual and one BN launch barrier. Round 4: p1 is not
+    written to HBM AT ALL — the backward sweeps recompute it from the x
+    tiles they already stream (_p1_from_xp: an 8-deep contraction,
+    ~1% of the trunk MACs vs the ~670 MB/step its write+read cost)."""
 
     def kernel(w1_ref, b1_ref, mul1_ref, shift1_ref, w2_ref, b2_ref,
-               lo_ref, hi_ref, p1_ref, p2_ref, s_ref, ss_ref):
+               lo_ref, hi_ref, p2_ref, s_ref, ss_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -157,7 +162,6 @@ def _make_pair_layer12_kernel(dtype, precision, cf: bool):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
         p1 = d.astype(dtype) + b1_ref[0].astype(dtype)[None, :]
-        p1_ref[...] = p1
         h1 = _h_from_p(p1, mul1_ref[0], shift1_ref[0], dtype)
         d2 = jax.lax.dot_general(
             h1, w2_ref[...].astype(dtype),
@@ -290,7 +294,44 @@ def _make_sweep1_pair_kernel(pool, dtype):
     return kernel
 
 
-def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
+def _xp_from_halves(lo_ref, hi_ref, c0, cf, dtype):
+    """Paired (T, 2C0) x tile from the two half operands. Channels-first
+    halves arrive as (1, C0, T) blocks and are transposed in-VMEM via a
+    tiny identity matmul (8x8) — Mosaic has no cheap vector transpose,
+    but an 8-deep MXU contraction is free next to the real matmuls."""
+    if cf:
+        xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
+                              axis=0).astype(dtype)
+        cc = 2 * c0
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 1)
+               ).astype(dtype)
+        return jax.lax.dot_general(
+            xcf, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dtype)
+    return jnp.concatenate([lo_ref[...], hi_ref[...]],
+                           axis=1).astype(dtype)
+
+
+def _p1_from_xp(xp, w1_ref, b1_ref, dtype, precision):
+    """Recompute the paired layer-1 pre-activation from the x tile. The
+    p1 residual is not stored (round 4): this contraction is only
+    2*C0 = 8 deep — ~1% of the trunk MACs — versus the ~670 MB/step its
+    HBM write+read cost at the reference workload. Same op/cast chain
+    as the forward sweep (f32 MXU accumulate at the same precision,
+    cast to compute dtype, add the cast bias), so the recomputed h1 and
+    its ReLU mask match the forward's to the last ulp in the row-major
+    layout (channels-first forward contracts the (2C0, T) block's
+    sublanes directly — same 8 products, same f32 accumulation)."""
+    d = jax.lax.dot_general(
+        xp, w1_ref[...].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=precision)
+    return d.astype(dtype) + b1_ref[0].astype(dtype)[None, :]
+
+
+def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False,
+                             precision=None):
     """Backward sweep 2 in paired layout — sa_bwd._make_sweep2_kernel
     with (a) the input halves arriving as two operands and (b) each
     half's x column broadcast over its own c1 lanes in the layer-1
@@ -308,7 +349,8 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
 
     def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
                mul1_ref, shift1_ref, mul2_ref, shift2_ref,
-               lo_ref, hi_ref, p1_ref, p2_ref, q3_ref,
+               w1_ref, b1_ref,
+               lo_ref, hi_ref, p2_ref, q3_ref,
                outm_ref, outa_ref):
         t = pl.program_id(0)
 
@@ -317,7 +359,9 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
             outm_ref[...] = jnp.zeros_like(outm_ref)
             outa_ref[...] = jnp.zeros_like(outa_ref)
 
-        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        xp = _xp_from_halves(lo_ref, hi_ref, c0, cf, dtype)
+        p1 = _p1_from_xp(xp, w1_ref, b1_ref, dtype, precision)
+        h1 = _h_from_p(p1, mul1_ref[0], shift1_ref[0], dtype)
         h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
         dh2 = (q3_ref[...].astype(f32)
                - jax.lax.dot_general(
@@ -335,21 +379,6 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
             preferred_element_type=f32).astype(dtype)
         m1f = (h1.astype(f32) > 0.0)
         mqd = jnp.where(m1f, q2, jnp.zeros_like(q2))
-        if cf:
-            # (2C0, T) halves -> (T, 2C0) by contracting an 8x8
-            # identity: result[t, j] = sum_c xcf[c, t] * eye[c, j].
-            xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
-                                  axis=0).astype(dtype)
-            cc = 2 * c0
-            eye = (jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 0)
-                   == jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 1)
-                   ).astype(dtype)
-            xp = jax.lax.dot_general(
-                xcf, eye, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(dtype)
-        else:
-            xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
-                                 axis=1).astype(dtype)
         m1 = m1f.astype(dtype)
 
         # Paired left/right stacks (module docstring): per original
@@ -372,11 +401,13 @@ def _make_sweep2_pair_kernel(pool, dtype, c0, c1, cf: bool = False):
     return kernel
 
 
-def _make_sweep2_slim_kernel(dtype):
-    """Backward sweep 2, slim: recompute h1/h2, form dy2 from the
-    cached q3, accumulate ONE padding-tight packed matmul
-    [dy2 | h1]^T h1 (the A2 and G1 = Gram(h1) blocks) with u2/ch1 as
-    VPU lane sums, and write the mq = m1*q2 residual for sweep 3.
+def _make_sweep2_slim_kernel(dtype, c0, cf: bool = False,
+                             precision=None):
+    """Backward sweep 2, slim: recompute h1 (from the x tile — p1 is
+    not stored, see _p1_from_xp) and h2, form dy2 from the cached q3,
+    accumulate ONE padding-tight packed matmul [dy2 | h1]^T h1 (the A2
+    and G1 = Gram(h1) blocks) with u2/ch1 as VPU lane sums, and write
+    the mq = m1*q2 residual for sweep 3.
 
     The unpaired kernel's layer-1 coupling blocks (m1*x_i)^T h1 — 512
     of its 896 left lanes plus their broadcast-multiply build — are
@@ -388,7 +419,8 @@ def _make_sweep2_slim_kernel(dtype):
 
     def kernel(m3c_ref, rc3_ref, gi2_ref, w2t_ref,
                mul1_ref, shift1_ref, mul2_ref, shift2_ref,
-               p1_ref, p2_ref, q3_ref,
+               w1_ref, b1_ref,
+               lo_ref, hi_ref, p2_ref, q3_ref,
                out_ref, sums_ref, mq_ref):
         t = pl.program_id(0)
 
@@ -397,7 +429,9 @@ def _make_sweep2_slim_kernel(dtype):
             out_ref[...] = jnp.zeros_like(out_ref)
             sums_ref[...] = jnp.zeros_like(sums_ref)
 
-        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        xp = _xp_from_halves(lo_ref, hi_ref, c0, cf, dtype)
+        p1 = _p1_from_xp(xp, w1_ref, b1_ref, dtype, precision)
+        h1 = _h_from_p(p1, mul1_ref[0], shift1_ref[0], dtype)
         h2 = _h_from_p(p2_ref[...], mul2_ref[0], shift2_ref[0], dtype)
         dh2 = (q3_ref[...].astype(f32)
                - jax.lax.dot_general(
@@ -424,25 +458,26 @@ def _make_sweep2_slim_kernel(dtype):
     return kernel
 
 
-def _make_sweep3_pair_kernel(dtype, c0, cf: bool = False):
+def _make_sweep3_pair_kernel(dtype, c0, cf: bool = False,
+                             precision=None):
     """Backward sweep 3: with M2/rc2 fixed by sweep 2's accumulators,
     dy1 = m1 * (q2 - h1 @ M2 - rc2) is one matmul + compare away from
-    the residuals (mq = m1*q2 from sweep 2, h1 recomputed from p1), and
-    the whole layer-1 dy-contraction is the padding-tight
-    dy1^T [x | ones] -> packed [A1 | u1] (2C1, 2C0+1).
-
-    ``cf`` takes channels-first (1, C0, T) halves and transposes them
-    in-VMEM via a tiny identity matmul (8x8)."""
+    the residuals (mq = m1*q2 from sweep 2, h1 recomputed from the x
+    tile — p1 is not stored, see _p1_from_xp), and the whole layer-1
+    dy-contraction is the padding-tight
+    dy1^T [x | ones] -> packed [A1 | u1] (2C1, 2C0+1)."""
 
     def kernel(m2c_ref, rc2_ref, mul1_ref, shift1_ref,
-               lo_ref, hi_ref, p1_ref, mq_ref, out_ref):
+               w1_ref, b1_ref, lo_ref, hi_ref, mq_ref, out_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        h1 = _h_from_p(p1_ref[...], mul1_ref[0], shift1_ref[0], dtype)
+        xp = _xp_from_halves(lo_ref, hi_ref, c0, cf, dtype)
+        p1 = _p1_from_xp(xp, w1_ref, b1_ref, dtype, precision)
+        h1 = _h_from_p(p1, mul1_ref[0], shift1_ref[0], dtype)
         corr = (jax.lax.dot_general(
             h1, m2c_ref[...].astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -453,19 +488,6 @@ def _make_sweep3_pair_kernel(dtype, c0, cf: bool = False):
                         mq_ref[...].astype(f32) - corr, 0.0)
         dy1d = dy1.astype(dtype)
 
-        if cf:
-            xcf = jnp.concatenate([lo_ref[0], hi_ref[0]],
-                                  axis=0).astype(dtype)
-            cc = 2 * c0
-            eye = (jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 0)
-                   == jax.lax.broadcasted_iota(jnp.int32, (cc, cc), 1)
-                   ).astype(dtype)
-            xp = jax.lax.dot_general(
-                xcf, eye, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(dtype)
-        else:
-            xp = jnp.concatenate([lo_ref[...], hi_ref[...]],
-                                 axis=1).astype(dtype)
         T = xp.shape[0]
         xp1 = jnp.concatenate([xp, jnp.ones((T, 1), dtype)], axis=1)
         _acc0(out_ref, dy1d, xp1)
@@ -541,10 +563,11 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     see _make_gram_pool_sweep).
     xf: (R, C0) flattened rows OR (B, C0, N) channels-first (compute
     dtype), R/2 a multiple of ``pool``. Returns
-    (pooled (R//pool, C3), stats, p1p (R/2, 2C1), p2p (R/2, 2C2),
+    (pooled (R//pool, C3), stats, p2p (R/2, 2C2),
     gram2 = (Gram(h2) (C2, C2), colsum(h2) (C2,)) — folded Gram-sweep
     accumulators, saved as residuals so backward sweep 1 never
-    recomputes them, idxp, gramx). ``slim`` returns
+    recomputes them, idxp, gramx). p1 is never materialized in HBM
+    (round 4) — the backward recomputes it from x. ``slim`` returns
     gramx = (Gram(x), colsum(x)) for the 3-sweep backward (the same
     XLA pass that feeds the layer-1 moments); otherwise gramx is None.
 
@@ -599,9 +622,10 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     var1 = jnp.maximum(e1 - mean1 * mean1, 0.0)  # see sa_fwd._finalize
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
 
-    # Fused sweep 1+2: x (lo/hi halves) -> paired p1 AND p2 + p2 moments.
+    # Fused sweep 1+2: x (lo/hi halves) -> paired p2 + p2 moments (p1
+    # never reaches HBM — the backward recomputes it, _p1_from_xp).
     nb = Rh // Tl
-    p1p, p2p, s2, ss2 = pl.pallas_call(
+    p2p, s2, ss2 = pl.pallas_call(
         _make_pair_layer12_kernel(dtype, precision, cf),
         grid=(nb,),
         in_specs=[
@@ -609,10 +633,9 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
             _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
             _const_spec((2 * C1, 2 * C2)), _const_spec((1, 2 * C2)),
         ] + _x_specs(xf, C0, Tl, Rh),
-        out_specs=(_tile_spec(Tl, 2 * C1), _tile_spec(Tl, 2 * C2),
+        out_specs=(_tile_spec(Tl, 2 * C2),
                    _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2))),
-        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C1), dtype),
-                   jax.ShapeDtypeStruct((Rh, 2 * C2), dtype),
+        out_shape=(jax.ShapeDtypeStruct((Rh, 2 * C2), dtype),
                    jax.ShapeDtypeStruct((1, 2 * C2), f32),
                    jax.ShapeDtypeStruct((1, 2 * C2), f32)),
         interpret=interpret,
@@ -675,14 +698,15 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     pooled = jnp.concatenate([pooled_p[:, :C3], pooled_p[:, C3:]], axis=0)
 
     stats = [(mean1, var1), (mean2, var2), (mean3, var3)]
-    return pooled, stats, p1p, p2p, (G2, ch2), idxp, gramx
+    return pooled, stats, p2p, (G2, ch2), idxp, gramx
 
 
-def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
+def sa_backward_pair(xf, p2p, gram2, idxp, gramx, layers, stats,
                      dpooled, eps, dtype, interpret=False,
                      slim=False, axis_name=None):
     """Paired backward. xf (R, C0) rows OR (B, C0, N) channels-first
-    (compute dtype), p1p/p2p the paired residuals,
+    (compute dtype), p2p the paired layer-2 residual (p1 is recomputed
+    from xf in-kernel, _p1_from_xp),
     gram2 = (Gram(h2), colsum(h2)) from the forward's sweep 3,
     idxp the forward's paired pool-argmax residual,
     gramx = (Gram(x), colsum(x)) from the forward's sweep 1 (slim
@@ -707,10 +731,15 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         R, C0 = xf.shape
         N = 0
     Rh = R // 2
-    C1, C2 = p1p.shape[1] // 2, p2p.shape[1] // 2
+    C1, C2 = layers[0].kernel.shape[1], p2p.shape[1] // 2
     P, C3 = dpooled.shape
     pool = R // P
     n = R if axis_name is None else R * jax.lax.psum(1, axis_name)
+    # The in-kernel p1 recompute must match the forward's precision
+    # (HIGHEST in f32 strict mode) so the recomputed ReLU masks agree;
+    # every other backward dot keeps the default (docs/DESIGN.md §3).
+    p1_precision = (jax.lax.Precision.HIGHEST
+                    if jnp.dtype(dtype) == jnp.float32 else None)
 
     def _g(v):
         """Shard-local accumulator -> global (psum over the mesh axis)."""
@@ -762,7 +791,7 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         # lane sums, and the mq = m1*q2 residual for sweep 3.
         Lm = 2 * C2 + 2 * C1
         out2, sums2, mqp = pl.pallas_call(
-            _make_sweep2_slim_kernel(dtype),
+            _make_sweep2_slim_kernel(dtype, C0, cf, p1_precision),
             grid=grid,
             in_specs=[
                 _const_spec((2 * C2, 2 * C2)),
@@ -770,20 +799,22 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
                 _const_spec((2 * C2, 2 * C1)),
                 _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
                 _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
-                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
-                _tile_spec(Tb, 2 * C2),
+                _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
+            ] + _x_specs(xf, C0, Tb, Rh) + [
+                _tile_spec(Tb, 2 * C2), _tile_spec(Tb, 2 * C2),
             ],
             out_specs=(_const_spec((Lm, 2 * C1)),
                        _const_spec((1, 2 * C2 + 2 * C1)),
                        _tile_spec(Tb, 2 * C1)),
             out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
                        jax.ShapeDtypeStruct((1, 2 * C2 + 2 * C1), f32),
-                       jax.ShapeDtypeStruct((Rh, 2 * C1), p1p.dtype)),
+                       jax.ShapeDtypeStruct((Rh, 2 * C1), p2p.dtype)),
             interpret=interpret,
         )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
           _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
           _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
-          p1p, p2p, q3p)
+          _blkdiag(lp1.kernel), _pair2(lp1.bias),
+          xf, xf, p2p, q3p)
 
         A2 = _g(_fold2(out2[:2 * C2], C2, C1))
         G1 = _g(_fold2(out2[2 * C2:], C1, C1))
@@ -795,19 +826,21 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         # Sweep 3: dy1 = m1*(q2 - h1 M2 - rc2) directly, packed
         # dy1^T [x | ones] -> [A1 | u1].
         out3 = pl.pallas_call(
-            _make_sweep3_pair_kernel(dtype, C0, cf),
+            _make_sweep3_pair_kernel(dtype, C0, cf, p1_precision),
             grid=grid,
             in_specs=[
                 _const_spec((2 * C1, 2 * C1)), _const_spec((1, 2 * C1)),
                 _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
+                _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
             ] + _x_specs(xf, C0, Tb, Rh) + [
-                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C1),
+                _tile_spec(Tb, 2 * C1),
             ],
             out_specs=_const_spec((2 * C1, 2 * C0 + 1)),
             out_shape=jax.ShapeDtypeStruct((2 * C1, 2 * C0 + 1), f32),
             interpret=interpret,
         )(_blkdiag(t2["M"]), _pair2(t2["rc"]), _pair2(mul1),
-          _pair2(shift1), xf, xf, p1p, mqp)
+          _pair2(shift1), _blkdiag(lp1.kernel), _pair2(lp1.bias),
+          xf, xf, mqp)
 
         A1 = _g(out3[:C1, :C0] + out3[C1:2 * C1, C0:2 * C0])
         u1 = _g(out3[:C1, 2 * C0] + out3[C1:2 * C1, 2 * C0])
@@ -821,7 +854,8 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         La = 2 * C2 + 3 * 2 * C1 + 2 * C0       # dy2, m1, mqd, x, h1
         Ra = 2 * C0 + 1
         outm, outa = pl.pallas_call(
-            _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf),
+            _make_sweep2_pair_kernel(pool, dtype, C0, C1, cf,
+                                     p1_precision),
             grid=grid,
             in_specs=[
                 _const_spec((2 * C2, 2 * C2)),
@@ -829,9 +863,9 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
                 _const_spec((2 * C2, 2 * C1)),
                 _const_spec((1, 2 * C1)), _const_spec((1, 2 * C1)),
                 _const_spec((1, 2 * C2)), _const_spec((1, 2 * C2)),
+                _const_spec((2 * C0, 2 * C1)), _const_spec((1, 2 * C1)),
             ] + _x_specs(xf, C0, Tb, Rh) + [
-                _tile_spec(Tb, 2 * C1), _tile_spec(Tb, 2 * C2),
-                _tile_spec(Tb, 2 * C2),
+                _tile_spec(Tb, 2 * C2), _tile_spec(Tb, 2 * C2),
             ],
             out_specs=(_const_spec((Lm, 2 * C1)), _const_spec((La, Ra))),
             out_shape=(jax.ShapeDtypeStruct((Lm, 2 * C1), f32),
@@ -840,7 +874,8 @@ def sa_backward_pair(xf, p1p, p2p, gram2, idxp, gramx, layers, stats,
         )(_blkdiag(t3["M"]), _pair2(t3["rc"]), _pair2(gi2),
           _blkdiag(jnp.swapaxes(lp2.kernel, 0, 1)),
           _pair2(mul1), _pair2(shift1), _pair2(mul2), _pair2(shift2),
-          xf, xf, p1p, p2p, q3p)
+          _blkdiag(lp1.kernel), _pair2(lp1.bias),
+          xf, xf, p2p, q3p)
 
         outm, outa = _g(outm), _g(outa)
         hL, hR = slice(0, C1), slice(C1, 2 * C1)
@@ -918,9 +953,9 @@ def _xf_of(x, cf, dtype):
 def _pair_impl(x, layers, eps, dtype, interpret, slim, axis_name=None):
     *lead, K, C0 = x.shape
     xf = _xf_of(x, False, dtype)
-    pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
+    pooled, stats, p2p, gram2, idxp, gramx = sa_forward_pair(
         xf, layers, K, eps, dtype, interpret, slim, axis_name)
-    return (pooled.reshape(*lead, -1), stats, xf, p1p, p2p, gram2, idxp,
+    return (pooled.reshape(*lead, -1), stats, xf, p2p, gram2, idxp,
             gramx)
 
 
@@ -945,18 +980,18 @@ def sa_train_pair(x: Array, layers: Tuple[SALayerParams, ...],
 
 def _pr_fwd(x, layers, eps, dtype, interpret, slim):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2, idxp, gramx = _pair_impl(
+    pooled, stats, _, p2p, gram2, idxp, gramx = _pair_impl(
         x, layers, eps, dtype, interpret, slim)
-    return (pooled, stats), (x, p1p, p2p, gram2, idxp, gramx, layers,
+    return (pooled, stats), (x, p2p, gram2, idxp, gramx, layers,
                              stats)
 
 
 def _pr_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x, p1p, p2p, gram2, idxp, gramx, layers, stats = res
+    x, p2p, gram2, idxp, gramx, layers, stats = res
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        _xf_of(x, False, dtype), p1p, p2p, gram2, idxp, gramx,
+        _xf_of(x, False, dtype), p2p, gram2, idxp, gramx,
         layers, stats, dpooled.reshape(-1, C3), eps, dtype,
         interpret=interpret, slim=slim)
     return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
@@ -969,9 +1004,9 @@ def _pair_cf_impl(x_cf, layers, eps, dtype, interpret, slim,
                   axis_name=None):
     Bv, C0, S, K = x_cf.shape
     x3 = _xf_of(x_cf, True, dtype)
-    pooled, stats, p1p, p2p, gram2, idxp, gramx = sa_forward_pair(
+    pooled, stats, p2p, gram2, idxp, gramx = sa_forward_pair(
         x3, layers, K, eps, dtype, interpret, slim, axis_name)
-    return (pooled.reshape(Bv, S, -1), stats, x3, p1p, p2p, gram2, idxp,
+    return (pooled.reshape(Bv, S, -1), stats, x3, p2p, gram2, idxp,
             gramx)
 
 
@@ -996,18 +1031,18 @@ def sa_train_pair_cf(x_cf: Array, layers: Tuple[SALayerParams, ...],
 
 def _prcf_fwd(x_cf, layers, eps, dtype, interpret, slim):
     layers = tuple(layers)
-    pooled, stats, _, p1p, p2p, gram2, idxp, gramx = _pair_cf_impl(
+    pooled, stats, _, p2p, gram2, idxp, gramx = _pair_cf_impl(
         x_cf, layers, eps, dtype, interpret, slim)
-    return (pooled, stats), (x_cf, p1p, p2p, gram2, idxp, gramx, layers,
+    return (pooled, stats), (x_cf, p2p, gram2, idxp, gramx, layers,
                              stats)
 
 
 def _prcf_bwd(eps, dtype, interpret, slim, res, cts):
     dpooled, _ = cts          # stats cotangent ignored (state update)
-    x_cf, p1p, p2p, gram2, idxp, gramx, layers, stats = res
+    x_cf, p2p, gram2, idxp, gramx, layers, stats = res
     C3 = dpooled.shape[-1]
     dlayers = sa_backward_pair(
-        _xf_of(x_cf, True, dtype), p1p, p2p, gram2,
+        _xf_of(x_cf, True, dtype), p2p, gram2,
         idxp, gramx, layers, stats, dpooled.reshape(-1, C3), eps, dtype,
         interpret=interpret, slim=slim)
     return jnp.zeros(x_cf.shape, x_cf.dtype), tuple(dlayers)
@@ -1046,29 +1081,29 @@ def make_sharded_pair(mesh, axis_name: str, eps: float, dtype,
     nsh = mesh.shape[axis_name]
 
     def _fwd_shard(x, layers):
-        pooled, stats, _, p1p, p2p, gram2, idxp, gramx = impl(
+        pooled, stats, _, p2p, gram2, idxp, gramx = impl(
             x, tuple(layers), eps, dtype, interpret, slim, axis_name)
-        return pooled, stats, p1p, p2p, gram2, idxp, gramx
+        return pooled, stats, p2p, gram2, idxp, gramx
 
     fwd_sm = jax.shard_map(
         # check_vma=False: pallas_call inside shard_map cannot declare
         # varying-mesh-axes metadata (same as make_grouping_fn).
         _fwd_shard, mesh=mesh,
         in_specs=(shard, rep),
-        out_specs=(shard, rep, shard, shard, rep, shard, rep),
+        out_specs=(shard, rep, shard, rep, shard, rep),
         check_vma=False)
 
-    def _bwd_shard(x, p1p, p2p, gram2, idxp, gramx, layers, stats,
+    def _bwd_shard(x, p2p, gram2, idxp, gramx, layers, stats,
                    dpooled):
         C3 = dpooled.shape[-1]
         return sa_backward_pair(
-            _xf_of(x, cf, dtype), p1p, p2p, gram2, idxp, gramx, layers,
+            _xf_of(x, cf, dtype), p2p, gram2, idxp, gramx, layers,
             stats, dpooled.reshape(-1, C3), eps, dtype,
             interpret=interpret, slim=slim, axis_name=axis_name)
 
     bwd_sm = jax.shard_map(
         _bwd_shard, mesh=mesh,
-        in_specs=(shard, shard, shard, rep, shard, rep, rep, rep,
+        in_specs=(shard, shard, rep, shard, rep, rep, rep,
                   shard),
         out_specs=rep,
         check_vma=False)
@@ -1096,14 +1131,14 @@ def make_sharded_pair(mesh, axis_name: str, eps: float, dtype,
     def f_fwd(x, layers):
         layers = tuple(layers)
         _check(x)
-        pooled, stats, p1p, p2p, gram2, idxp, gramx = fwd_sm(x, layers)
-        return (pooled, stats), (x, p1p, p2p, gram2, idxp, gramx,
+        pooled, stats, p2p, gram2, idxp, gramx = fwd_sm(x, layers)
+        return (pooled, stats), (x, p2p, gram2, idxp, gramx,
                                  layers, stats)
 
     def f_bwd(res, cts):
         dpooled, _ = cts      # stats cotangent ignored (state update)
-        x, p1p, p2p, gram2, idxp, gramx, layers, stats = res
-        dlayers = bwd_sm(x, p1p, p2p, gram2, idxp, gramx, layers,
+        x, p2p, gram2, idxp, gramx, layers, stats = res
+        dlayers = bwd_sm(x, p2p, gram2, idxp, gramx, layers,
                          stats, dpooled)
         return jnp.zeros(x.shape, x.dtype), tuple(dlayers)
 
