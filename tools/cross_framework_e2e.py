@@ -292,8 +292,10 @@ def ref_phase(args):
 # facl_tpu-side phase
 # --------------------------------------------------------------------------
 
-def _run(cmd, **kw):
+def _run(cmd, platform=None, **kw):
     print("+", " ".join(cmd), flush=True)
+    if platform:
+        kw.setdefault("env", {**os.environ, "FACL_PLATFORM": platform})
     subprocess.run(cmd, check=True, **kw)
 
 
@@ -321,22 +323,27 @@ def facl_phase(args):
     t0 = time.time()
     _run([sys.executable, "-m", "facl_tpu.cli.pretrain", "--root", tree,
           "--stream", "motion", "--epochs", str(args.epochs),
-          "--batch-size", str(args.batch), "--out", ckpt], cwd=REPO)
+          "--batch-size", str(args.batch), "--out", ckpt], cwd=REPO,
+         platform=args.facl_platform)
     t_train = time.time() - t0
 
     t0 = time.time()
     _run([sys.executable, "-m", "facl_tpu.cli.extract", "--root", tree,
           "--stream", "motion", "--checkpoint", ckpt, "--out", feat,
-          "--batch-size", str(args.batch)], cwd=REPO)
+          "--batch-size", str(args.batch)], cwd=REPO,
+         platform=args.facl_platform)
     t_extract = time.time() - t0
 
     # Probe: motion features for BOTH streams (see module docstring).
     t0 = time.time()
+    env = dict(os.environ)
+    if args.facl_platform:
+        env["FACL_PLATFORM"] = args.facl_platform
     res = subprocess.run(
         [sys.executable, "-m", "facl_tpu.cli.probe", "--root", tree,
          "--motion-features", feat, "--appearance-features", feat,
          "--epochs", str(args.probe_epochs)],
-        cwd=REPO, check=True, capture_output=True, text=True)
+        cwd=REPO, check=True, capture_output=True, text=True, env=env)
     print(res.stdout[-2000:])
     tops = re.findall(r"top1=([\d.]+)", res.stdout + res.stderr)
     assert tops, f"no top1 in facl probe output: {res.stdout[-500:]}"
@@ -374,6 +381,10 @@ def main():
     p.add_argument("--probe-batch", type=int, default=4)
     p.add_argument("--out", default="crossframework_e2e.json")
     p.add_argument("--phase", choices=["all", "ref", "facl"], default="all")
+    p.add_argument("--facl-platform", default=None,
+                   help="pin the facl CLIs' JAX platform (e.g. cpu — "
+                        "semantics are platform-independent; parity "
+                        "tests hold the paths to each other)")
     p.add_argument("--png-tree", default=None)
     args = p.parse_args()
     os.makedirs(args.work, exist_ok=True)
@@ -395,6 +406,8 @@ def main():
 
     base = [sys.executable, os.path.abspath(__file__),
             "--work", args.work, "--png-tree", args.png_tree,
+            ] + (["--facl-platform", args.facl_platform]
+                 if args.facl_platform else []) + [
             "--videos", str(args.videos), "--epochs", str(args.epochs),
             "--probe-epochs", str(args.probe_epochs),
             "--batch", str(args.batch),
