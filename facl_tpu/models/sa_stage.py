@@ -56,9 +56,12 @@ def covar_moments(h: Array, kernel: Array, bias: Array,
     sx = jnp.sum(flat.astype(jnp.float32), axis=0)            # (C_in,)
     wf = kernel.astype(jnp.float32)
     bf = bias.astype(jnp.float32)
-    mean = (sx @ wf) / n + bf
-    e2 = jnp.einsum("ic,ic->c", gram @ wf, wf,
-                    precision=precision) / n + bf * (2.0 * mean - bf)
+    # The finalize dots are tiny f32 contractions with O(n) Gram entries;
+    # TPU DEFAULT would round them through bf16 (sa_bwd._layer_terms).
+    hp = jax.lax.Precision.HIGHEST
+    mean = jnp.matmul(sx, wf, precision=hp) / n + bf
+    e2 = jnp.einsum("ic,ic->c", jnp.matmul(gram, wf, precision=hp), wf,
+                    precision=hp) / n + bf * (2.0 * mean - bf)
     # Clamped at 0: the identity rounds negative on constant channels
     # (rsqrt(var+eps) would NaN past -eps).
     var = jnp.maximum(e2 - mean * mean, 0.0)

@@ -130,26 +130,32 @@ def _layer_bwd(dy: Array, h_prev: Array, lp: SALayerParams,
     u = jnp.sum(dy.astype(f32), axis=rows_axes)                          # (C,)
     # A = dy^T @ h_prev — serves v (via diag(A @ W)) AND dW's main term.
     A = _mm_rows(dyd, h_prev)                                    # (C, Cin)
-    # v = sum(dy * xhat) = inv * (diag(A @ W) + u * (b - mean))
-    v = inv * (jnp.einsum("cj,jc->c", A, W) + u * (b - mean))
+    # v = sum(dy * xhat) = inv * (diag(A @ W) + u * (b - mean)).
+    # HIGHEST on the tiny f32 term dots: TPU DEFAULT rounds f32 matmuls
+    # through bf16 and the Gram entries are O(n) (sa_bwd._layer_terms).
+    hp = jax.lax.Precision.HIGHEST
+    v = inv * (jnp.einsum("cj,jc->c", A, W, precision=hp)
+               + u * (b - mean))
 
     # colsum(h) and Gram(h) stand in for every h^T @ xhat contraction.
     ch = jnp.sum(h_prev.astype(f32), axis=rows_axes)                     # (Cin,)
     Gh = _mm_rows(h_prev, h_prev)                                # (Cin,Cin)
-    HX = (Gh @ W + ch[:, None] * (b - mean)[None, :]) * inv[None, :]
+    HX = (jnp.matmul(Gh, W, precision=hp)
+          + ch[:, None] * (b - mean)[None, :]) * inv[None, :]
 
     dW = gi[None, :] * (A.T - ch[:, None] * (u / n)[None, :]
                         - HX * (v / n)[None, :])
     # sum(xhat) is exactly 0 in real arithmetic (mean = colsum(p)/n);
     # the float residue reproduces autodiff's noise-level db.
-    sum_xhat = (ch @ W + n * b - n * mean) * inv
+    sum_xhat = (jnp.matmul(ch, W, precision=hp) + n * b - n * mean) * inv
     db = -gi * sum_xhat * v / n
 
     # dh = (gi*dy) @ W^T - row_const - (h @ M + const): the xhat-carried
     # correction is affine in h because xhat is affine in h @ W.
     s = gi * v / n                                               # (C,)
-    M = (W * (inv * s)[None, :]) @ W.T                           # (Cin,Cin)
-    row_const = (gi * u / n + (b - mean) * inv * s) @ W.T        # (Cin,)
+    M = jnp.matmul(W * (inv * s)[None, :], W.T, precision=hp)    # (Cin,Cin)
+    row_const = jnp.matmul(gi * u / n + (b - mean) * inv * s, W.T,
+                           precision=hp)                         # (Cin,)
     dh_prev = ((dyd * gi.astype(dtype)) @ W.T.astype(dtype)
                - h_prev @ M.astype(dtype)
                - row_const).astype(f32)

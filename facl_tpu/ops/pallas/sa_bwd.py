@@ -199,22 +199,33 @@ def _layer_terms(A, u, lp, mean, var, G, ch, n, eps):
     """Closed-form per-layer grads + propagation matrices from the two
     dy-dependent globals (A = dy^T h_prev, u = sum dy) and h-only
     reductions (G = Gram(h_prev), ch = colsum(h_prev)). Mirrors
-    analytic_sa._layer_bwd's algebra."""
+    analytic_sa._layer_bwd's algebra.
+
+    Every contraction here is a tiny (<=256-wide) f32 matrix with
+    entries O(n) — but on TPU the DEFAULT matmul precision rounds f32
+    dots through bf16 passes (~3e-3 relative), which is the whole
+    moment/grad signal. HIGHEST is forced; the cost is nothing next to
+    the row sweeps (device-measured r4: the gap pair3-vs-reference f32
+    forward error dropped 6.6e-3 -> ulp-level with this and the
+    sa_forward_pair finalize fixed)."""
     f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
     W = lp.kernel.astype(f32)
     b = lp.bias.astype(f32)
     gamma = lp.scale.astype(f32)
     inv = jax.lax.rsqrt(var + eps)
     gi = gamma * inv
-    v = inv * (jnp.einsum("cj,jc->c", A, W) + u * (b - mean))
-    HX = (G @ W + ch[:, None] * (b - mean)[None, :]) * inv[None, :]
+    v = inv * (jnp.einsum("cj,jc->c", A, W, precision=hp)
+               + u * (b - mean))
+    HX = (jnp.matmul(G, W, precision=hp)
+          + ch[:, None] * (b - mean)[None, :]) * inv[None, :]
     dW = gi[None, :] * (A.T - ch[:, None] * (u / n)[None, :]
                         - HX * (v / n)[None, :])
-    sum_xhat = (ch @ W + n * b - n * mean) * inv
+    sum_xhat = (jnp.matmul(ch, W, precision=hp) + n * b - n * mean) * inv
     db = -gi * sum_xhat * v / n
     s = gi * v / n
-    M = (W * (inv * s)[None, :]) @ W.T
-    rc = (gi * u / n + (b - mean) * inv * s) @ W.T
+    M = jnp.matmul(W * (inv * s)[None, :], W.T, precision=hp)
+    rc = jnp.matmul(gi * u / n + (b - mean) * inv * s, W.T, precision=hp)
     return dict(v=v, dW=dW, db=db, dgamma=v, dbeta=u, M=M, rc=rc, gi=gi)
 
 
@@ -321,8 +332,10 @@ def sa_backward_pallas(x, p1, p2, layers, stats, dpooled,
 
     # Layer 1 in closed form: dy1 = m1 * (q2 - h1 @ M2 - rc2).
     M2, rc2 = t2["M"], t2["rc"]
-    u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2) - cnt1 * rc2
-    A1 = P1 - jnp.einsum("jc,cji->ci", M2, U1) - rc2[:, None] * T1x
+    hp = jax.lax.Precision.HIGHEST
+    u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2, precision=hp) - cnt1 * rc2
+    A1 = (P1 - jnp.einsum("jc,cji->ci", M2, U1, precision=hp)
+          - rc2[:, None] * T1x)
     t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
 
     def as_grad(lp, t):

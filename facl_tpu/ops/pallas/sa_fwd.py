@@ -228,8 +228,12 @@ def sa_forward_pallas(xf: Array, layers, pool: int, eps: float, dtype,
     )(row2(mul2), row2(shift2), p2)
     w3f = lp3.kernel.astype(f32)
     b3f = lp3.bias.astype(f32)
-    mean3 = (ch2[0] @ w3f) / n + b3f
-    e2 = (jnp.einsum("ic,ic->c", G2 @ w3f, w3f) / n
+    # HIGHEST: tiny f32 dots with O(n) Gram entries; TPU DEFAULT rounds
+    # them through bf16 (sa_bwd._layer_terms docstring).
+    hp = jax.lax.Precision.HIGHEST
+    mean3 = jnp.matmul(ch2[0], w3f, precision=hp) / n + b3f
+    e2 = (jnp.einsum("ic,ic->c", jnp.matmul(G2, w3f, precision=hp), w3f,
+                     precision=hp) / n
           + b3f * (2.0 * mean3 - b3f))
     var3 = jnp.maximum(e2 - mean3 * mean3, 0.0)  # see _finalize
     mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)

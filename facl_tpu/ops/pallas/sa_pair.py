@@ -614,10 +614,16 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
         cx = jnp.sum(xf.astype(f32), axis=0)
     Gx, cx = _g(Gx), _g(cx)
     gramx = (Gx, cx) if slim else None
+    # HIGHEST unconditionally: these are tiny (C0/C2-wide) f32 dots with
+    # O(n)-sized Gram entries, and TPU DEFAULT rounds f32 matmuls through
+    # bf16 passes — a ~3e-3 relative error on the variance itself
+    # (device-measured r4; sa_bwd._layer_terms docstring).
+    hp = jax.lax.Precision.HIGHEST
     w1f = lp1.kernel.astype(f32)
     b1f = lp1.bias.astype(f32)
-    mean1 = (cx @ w1f) / n + b1f
-    e1 = (jnp.einsum("ic,ic->c", Gx @ w1f, w1f) / n
+    mean1 = jnp.matmul(cx, w1f, precision=hp) / n + b1f
+    e1 = (jnp.einsum("ic,ic->c", jnp.matmul(Gx, w1f, precision=hp), w1f,
+                     precision=hp) / n
           + b1f * (2.0 * mean1 - b1f))
     var1 = jnp.maximum(e1 - mean1 * mean1, 0.0)  # see sa_fwd._finalize
     mul1, shift1 = _fold_affine(lp1, mean1, var1, eps)
@@ -678,8 +684,9 @@ def sa_forward_pair(xf: Array, layers, pool: int, eps: float, dtype,
     ch2 = _g(_foldlanes(chp, C2)[0])
     w3f = lp3.kernel.astype(f32)
     b3f = lp3.bias.astype(f32)
-    mean3 = (ch2 @ w3f) / n + b3f
-    e2 = (jnp.einsum("ic,ic->c", G2 @ w3f, w3f) / n
+    mean3 = jnp.matmul(ch2, w3f, precision=hp) / n + b3f
+    e2 = (jnp.einsum("ic,ic->c", jnp.matmul(G2, w3f, precision=hp), w3f,
+                     precision=hp) / n
           + b3f * (2.0 * mean3 - b3f))
     var3 = jnp.maximum(e2 - mean3 * mean3, 0.0)  # see sa_fwd._finalize
     mul3, shift3 = _fold_affine(lp3, mean3, var3, eps)
@@ -923,8 +930,11 @@ def sa_backward_pair(xf, p2p, gram2, idxp, gramx, layers, stats,
         t2 = _layer_terms(A2, u2, lp2, mean2, var2, G1, ch1, n, eps)
 
         M2, rc2 = t2["M"], t2["rc"]
-        u1 = acc1 - jnp.einsum("cj,jc->c", TM1, M2) - cnt1 * rc2
-        A1 = P1 - jnp.einsum("jc,cji->ci", M2, U1) - rc2[:, None] * T1x
+        hp = jax.lax.Precision.HIGHEST
+        u1 = (acc1 - jnp.einsum("cj,jc->c", TM1, M2, precision=hp)
+              - cnt1 * rc2)
+        A1 = (P1 - jnp.einsum("jc,cji->ci", M2, U1, precision=hp)
+              - rc2[:, None] * T1x)
         t1 = _layer_terms(A1, u1, lp1, mean1, var1, Gx, cx, n, eps)
 
     def as_grad(lp, t):
