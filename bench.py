@@ -126,6 +126,14 @@ def main() -> None:
                                    cfg.grouping.select_impl),
         gather_impl=os.environ.get("BENCH_GATHER_IMPL",
                                    cfg.grouping.gather_impl)))
+    # BENCH_SPLIT=1: two-program step (TrainConfig.split_step) — halves
+    # each program's scratch arena for large-batch runs on
+    # scratch-capped runtimes. Forces python_loop timing (a fori_loop
+    # wrapper would inline both programs back into one module).
+    split = os.environ.get("BENCH_SPLIT", "0") == "1"
+    if split:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    split_step=True))
     G = cfg.model.num_crops              # 10
     B = int(os.environ.get("BENCH_BATCH", cfg.train.batch_size))  # 64
     N = cfg.data.num_points              # 512
@@ -167,7 +175,8 @@ def main() -> None:
     # rotate between two staged batches so per-step work is identical
     # and loop-invariant elision is impossible (make_run_n;
     # device-verified mode agreement recorded in BASELINE.md).
-    loop_mode = os.environ.get("BENCH_LOOP", "1") == "1" and steps > 1
+    loop_mode = (os.environ.get("BENCH_LOOP", "1") == "1" and steps > 1
+                 and not split)
     mode = "fori_loop_diff" if loop_mode else "python_loop"
 
     if loop_mode:

@@ -180,6 +180,16 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_every_steps: int = 50
     optim: OptimConfig = field(default_factory=OptimConfig)
+    # Execute the train step as TWO jit programs (forward+loss | backward
+    # +Adam) instead of one fused program. Numerically identical (the vjp
+    # residuals cross the seam as explicit device buffers); the win is
+    # peak *per-program* scratch — each side's XLA temp arena is roughly
+    # halved, which unlocks large per-chip batches on runtimes that cap a
+    # single program's scratch allocation (measured: the axon-tunnel v5e
+    # caps one program's temp at ~2-3 GB while the chip itself has
+    # ~13 GB free — BASELINE.md round-4 batch-scaling note). Costs one
+    # extra dispatch per step; keep False where batch 64-128 fits.
+    split_step: bool = False
 
 
 @dataclass(frozen=True)

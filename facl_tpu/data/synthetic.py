@@ -15,7 +15,8 @@ from facl_tpu.datagen import ClipGenerator
 def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
                          shape=(424, 512), n_blobs: int = 2,
                          action: Optional[int] = None,
-                         num_actions: int = 5) -> np.ndarray:
+                         num_actions: int = 5,
+                         style: str = "instance") -> np.ndarray:
     """A human-ish synthetic depth sequence: moving rectangles at plausible
     Kinect depths (mm).
 
@@ -27,35 +28,58 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
     linearly separable in a well-trained embedding — this is what
     tools/train_synthetic_probe.py uses to demonstrate end-to-end
     unsupervised learning without the license-gated NTU data. With
-    ``action=None`` the motion is unconditioned (smoke-test mode)."""
+    ``action=None`` the motion is unconditioned (smoke-test mode).
+
+    ``style`` picks the depth-drift regime (r4 — the two uses pull in
+    opposite directions):
+
+    * ``"instance"`` (default; tools/train_synthetic_probe.py): |ddepth|
+      stays BELOW the 50 mm motion-localisation threshold
+      (datagen/depth.py::locate_motion), so motion registers only at the
+      blob EDGES — sparse, per-clip-varied point sets that keep clips of
+      one class distinguishable. This is the regime the r3 learning
+      demonstration used; with interior-dense motion (below) the clips of
+      a class become near-identical dense rectangles, the
+      instance-discriminating InfoNCE objective collapses within ~1
+      epoch, and the random-encoder probe control inflates
+      (device-measured r4: control 71-80%, trained -> majority-class).
+    * ``"reference_window"`` (write_synthetic_png_tree, the
+      cross-framework e2e): |ddepth| INSIDE the (50, 300) window so the
+      blob interior registers as motion every frame — required because
+      the reference generator crashes on an empty key-voxel set
+      (randint(0, 0), generate_NTU.py:224) and so cannot even represent
+      the edge-only regime."""
+    if style not in ("instance", "reference_window"):
+        raise ValueError(f"unknown style {style!r}")
     H, W = shape
     frames = np.zeros((n_frames, H, W), np.float32)
     for b in range(n_blobs):
         h = int(rng.integers(H // 4, H // 2))
         w = int(rng.integers(W // 10, W // 5))
-        depth = float(rng.uniform(2500, 3500))
+        depth = float(rng.uniform(*(
+            (2500, 3500) if style == "reference_window" else (1500, 3500))))
         if action is None:
             y0 = int(rng.integers(0, H - h))
             vx = max(1, (W - w - 1) // max(n_frames, 1))
             vx = int(rng.integers(1, min(4, vx) + 1))
             x0 = int(rng.integers(0, max(1, W - w - n_frames * vx)))
-            vy, ddepth = 0.0, 80.0
+            vy = 0.0
+            ddepth = 80.0 if style == "reference_window" else 20.0
         else:
             ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
                    + float(rng.uniform(-0.15, 0.15)))
             speed = (3.0 if action % 2 else 6.0) * float(
-                rng.uniform(0.85, 1.15))
+                rng.uniform(0.75, 1.25))
             vx = speed * np.cos(ang)
             vy = speed * np.sin(ang)
             x0 = int(rng.integers(W // 4, max(W // 4 + 1, W // 2)))
             y0 = int(rng.integers(H // 4, max(H // 4 + 1, H // 2)))
-            # |ddepth| sits INSIDE the (50, 300) motion-localisation window
-            # (datagen/depth.py::locate_motion; generate_NTU.py:356-359),
-            # so the blob interior registers as motion every frame and the
-            # KEY stream carries the class signal too — below 50 the key
-            # voxel set is empty, which the reference generator cannot
-            # even represent (randint(0, 0) crash at generate_NTU.py:224).
-            ddepth = 80.0 if action % 2 else -80.0
+            # Magnitude drawn per clip (the class carries the SIGN);
+            # range per the style contract in the docstring.
+            mag = float(rng.uniform(60.0, 220.0)
+                        if style == "reference_window"
+                        else rng.uniform(15.0, 40.0))
+            ddepth = mag * (1.0 if action % 2 else -1.0)
         for f in range(n_frames):
             x = int(np.clip(x0 + vx * f, 0, W - w - 1))
             y = int(np.clip(y0 + vy * f, 0, H - h - 1))

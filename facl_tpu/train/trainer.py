@@ -89,7 +89,7 @@ def make_grouping_fn(g_cfg, mesh=None, layout: str = "bskc",
 
 def make_train_step(model, optimizer, cfg: Config,
                     donate: bool = True, mesh=None,
-                    grouping=None) -> Callable:
+                    grouping=None, split: bool = False) -> Callable:
     """Build the jit-compiled training step.
 
     step(state, points, key, epoch) -> (state, metrics)
@@ -97,7 +97,20 @@ def make_train_step(model, optimizer, cfg: Config,
       epoch:  () int32 — drives the SwAV queue gate.
       grouping: effective GroupingConfig (defaults to cfg.grouping; the
         fine model variant overrides S/K via models.resolve_model).
+      split: execute as TWO jit programs — forward+loss, then
+        backward+Adam — instead of one fused program
+        (``TrainConfig.split_step``). The ``jax.vjp`` residuals cross
+        the seam as explicit device buffers (``jax.tree_util.Partial``
+        is a pytree, so the vjp function itself flows through the jit
+        boundary), which roughly halves each side's XLA scratch arena:
+        the unlock for large per-chip batches on runtimes that cap one
+        program's scratch (BASELINE.md round-4 batch-scaling note).
+        Identical math, one extra dispatch per step; single-device only.
     """
+    if split and mesh is not None and getattr(mesh, "size", 1) > 1:
+        raise ValueError("split_step targets single-device large-batch "
+                         "runs; use the fused step under a mesh (GSPMD "
+                         "already bounds per-shard scratch)")
     g_cfg = grouping or cfg.grouping
     l_cfg = cfg.loss
     layout = "bcsk" if cfg.model.channels_first else "bskc"
@@ -166,6 +179,37 @@ def make_train_step(model, optimizer, cfg: Config,
 
         metrics["loss"] = loss
         return loss, (mutated["batch_stats"], metrics, new_queue)
+
+    if split:
+        @jax.jit
+        def fwd_step(state, points, key, epoch):
+            _, vjp_fn, (new_stats, metrics, new_queue) = jax.vjp(
+                lambda p: loss_fn(p, state.batch_stats, points, key,
+                                  epoch, state.swav_queue),
+                state.params, has_aux=True)
+            return vjp_fn, new_stats, metrics, new_queue
+
+        @jax.jit
+        def bwd_step(vjp_fn, state, new_stats, new_queue):
+            (grads,) = vjp_fn(jnp.ones((), jnp.float32))
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, step=state.step + 1,
+                swav_queue=new_queue)
+
+        def train_step_split(state, points, key, epoch):
+            # NOT re-jitted as a whole: wrapping the pair in one jit
+            # would inline both programs back into a single XLA module
+            # and restore the fused arena peak.
+            vjp_fn, new_stats, metrics, new_queue = fwd_step(
+                state, points, key, epoch)
+            new_state = bwd_step(vjp_fn, state, new_stats, new_queue)
+            return new_state, metrics
+
+        return train_step_split
 
     def train_step(state: TrainState, points: Array, key: Array,
                    epoch: Array) -> Tuple[TrainState, Dict[str, Array]]:
@@ -240,7 +284,8 @@ class Trainer:
             self.model, self.g_cfg = model, cfg.grouping
         self.optimizer = make_optimizer(cfg.train.optim, steps_per_epoch)
         self.step_fn = make_train_step(self.model, self.optimizer, cfg,
-                                       mesh=mesh, grouping=self.g_cfg)
+                                       mesh=mesh, grouping=self.g_cfg,
+                                       split=cfg.train.split_step)
 
     def init_state(self, rng: Array, sample_points: Array) -> TrainState:
         """sample_points: (G, B, N, C) — used for shape inference only."""

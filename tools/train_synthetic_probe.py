@@ -20,7 +20,9 @@ Writes ``synth_probe.json`` at the repo root; prints one JSON line.
 
 Env knobs: SP_VIDEOS (default 504), SP_ACTIONS (10), SP_SEEDS ("0,1,2"),
 SP_CHECKPOINTS ("0,5,15,30,60"), SP_BATCH (16), SP_PROBE_EPOCHS (40),
-SP_KEEP_TREES (0).
+SP_KEEP_TREES (0), SP_LR (pretrain Adam lr; default the reference
+recipe's 3e-4 — tuned for NTU-scale data, so the toy-scale demonstration
+may pin a smaller one; the value used is recorded in the artifact).
 """
 from __future__ import annotations
 
@@ -50,7 +52,7 @@ def wilson(k: int, n: int, z: float = 1.96):
 
 
 def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
-             probe_epochs: int, keep_tree: bool):
+             probe_epochs: int, keep_tree: bool, lr: float = 3e-4):
     """One full pipeline run; returns (curve, counts, n_train, n_test).
 
     curve[ck] = test top-1 %, counts[ck] = (correct, total) at that
@@ -94,7 +96,10 @@ def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
                                           compute_dtype="bfloat16"),
                 data=dataclasses.replace(cfg.data, root=root,
                                          stream=stream),
-                train=dataclasses.replace(cfg.train, batch_size=batch))
+                train=dataclasses.replace(
+                    cfg.train, batch_size=batch,
+                    optim=dataclasses.replace(cfg.train.optim,
+                                              learning_rate=lr)))
             ds = NTUPointDataset(root, cfg.data, train=True)
             steps = max(1, len(ds) // batch)
             key = jax.random.PRNGKey(seed)
@@ -186,12 +191,14 @@ def main() -> None:
     batch = int(os.environ.get("SP_BATCH", "16"))
     probe_epochs = int(os.environ.get("SP_PROBE_EPOCHS", "40"))
     keep = os.environ.get("SP_KEEP_TREES", "0") == "1"
+    lr = float(os.environ.get("SP_LR", "3e-4"))
 
     curves, counts_by_seed = {}, {}
     n_train = n_test = 0
     for seed in seeds:
         curve, counts, n_train, n_test = run_seed(
-            seed, videos, actions, checkpoints, batch, probe_epochs, keep)
+            seed, videos, actions, checkpoints, batch, probe_epochs, keep,
+            lr=lr)
         curves[seed] = curve
         counts_by_seed[seed] = counts
 
@@ -233,6 +240,7 @@ def main() -> None:
         "seed_std_at_best": round(float(np.std(
             [curves[s][best_ck] for s in seeds])), 2),
         "chance_pct": round(100.0 / actions, 1),
+        "pretrain_lr": lr,
         "videos_per_seed": videos, "actions": actions,
         "train_videos": n_train, "test_videos": n_test,
         "pooled_test_n": n_t,
