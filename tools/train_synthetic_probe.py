@@ -193,14 +193,38 @@ def main() -> None:
     keep = os.environ.get("SP_KEEP_TREES", "0") == "1"
     lr = float(os.environ.get("SP_LR", "3e-4"))
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     curves, counts_by_seed = {}, {}
     n_train = n_test = 0
     for seed in seeds:
+        # Per-seed cache: each seed is an independent dataset+run, so a
+        # wall-clock cutoff keeps completed seeds and a relaunch resumes.
+        cache = os.path.join(repo, f"synth_probe_seed{seed}.json")
+        stamp = {"videos": videos, "actions": actions,
+                 "checkpoints": list(checkpoints), "batch": batch,
+                 "probe_epochs": probe_epochs, "lr": lr}
+        if os.path.exists(cache):
+            with open(cache) as fh:
+                prev = json.load(fh)
+            if prev.get("stamp") == stamp:
+                print(f"# seed {seed}: cached ({cache})", flush=True)
+                curves[seed] = {int(k): v
+                                for k, v in prev["curve"].items()}
+                counts_by_seed[seed] = {
+                    int(k): tuple(v) for k, v in prev["counts"].items()}
+                n_train, n_test = prev["n_train"], prev["n_test"]
+                continue
         curve, counts, n_train, n_test = run_seed(
             seed, videos, actions, checkpoints, batch, probe_epochs, keep,
             lr=lr)
         curves[seed] = curve
         counts_by_seed[seed] = counts
+        with open(cache, "w") as fh:
+            json.dump({"stamp": stamp,
+                       "curve": {str(k): v for k, v in curve.items()},
+                       "counts": {str(k): list(v)
+                                  for k, v in counts.items()},
+                       "n_train": n_train, "n_test": n_test}, fh, indent=2)
 
     # Headline checkpoint: best mean-over-seeds TRAINED epoch (>0) — the
     # per-seed curves are reported in full, so the selection is visible.
