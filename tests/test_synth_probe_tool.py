@@ -25,12 +25,19 @@ def _load_tool():
 
 
 def test_wilson_matches_closed_form():
+    import math
+
     sp = _load_tool()
     lo, hi = sp.wilson(0, 0)
     assert (lo, hi) == (0.0, 100.0)
     lo, hi = sp.wilson(50, 100)
     assert lo < 50.0 < hi
-    assert hi - lo == pytest.approx(2 * 100 * 1.96 * 0.05 / 1.0384, rel=0.02)
+    # Exact closed-form width for (k=50, n=100), z=1.96:
+    # 2*z*sqrt(p(1-p)/n + z^2/(4n^2)) / (1 + z^2/n), p=1/2.
+    z, n, p = 1.96, 100, 0.5
+    width = 100 * 2 * z * math.sqrt(p * (1 - p) / n
+                                    + z * z / (4 * n * n)) / (1 + z * z / n)
+    assert hi - lo == pytest.approx(width, rel=1e-12)
     # Degenerate endpoints stay inside [0, 100].
     lo, hi = sp.wilson(100, 100)
     assert 90 < lo < hi <= 100.0
@@ -42,12 +49,12 @@ def _run_main(tmp_path, monkeypatch, curves_by_seed, n_test=20):
     calls = []
 
     def fake_run_seed(seed, videos, actions, checkpoints, batch,
-                      probe_epochs, keep_tree, lr=3e-4):
+                      probe_epochs, keep_tree, lr=3e-4, **kw):
         calls.append(seed)
         curve = curves_by_seed[seed]
         counts = {ck: (int(round(v * n_test / 100.0)), n_test)
                   for ck, v in curve.items()}
-        return curve, counts, 40, n_test
+        return curve, counts, 40, n_test, {}
 
     monkeypatch.setattr(sp, "run_seed", fake_run_seed)
     # Redirect every artifact next to tmp_path by relocating the module's
@@ -91,7 +98,7 @@ def test_cache_write_and_resume(tmp_path, monkeypatch):
                         lambda seed, *a, **k: (calls3.append(seed) or
                                                (curves[seed],
                                                 {ck: (1, 2) for ck in
-                                                 curves[seed]}, 4, 2)))
+                                                 curves[seed]}, 4, 2, {})))
     monkeypatch.setattr(sp, "__file__",
                         str(tmp_path / "tools" / "train_synthetic_probe.py"))
     monkeypatch.setenv("SP_SEEDS", "0,1")

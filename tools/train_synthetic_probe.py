@@ -23,6 +23,15 @@ SP_CHECKPOINTS ("0,5,15,30,60"), SP_BATCH (16), SP_PROBE_EPOCHS (40),
 SP_KEEP_TREES (0), SP_LR (pretrain Adam lr; default the reference
 recipe's 3e-4 — tuned for NTU-scale data, so the toy-scale demonstration
 may pin a smaller one; the value used is recorded in the artifact).
+
+Bisection knobs (r5, VERDICT r4 item 1 — every one is recorded in the
+artifact and the cache stamp): SP_SA_IMPL ("auto"), SP_DTYPE
+("bfloat16"), SP_PLATFORM ("" = process default; "cpu" pins the CPU
+backend before any compute), SP_TREE_DIR ("" = fresh tree per seed; a
+path = reuse/generate ONE fixed tree under ``<dir>/seed<N>`` so compute
+arms compare on identical data), SP_FORCE ("1" ignores per-seed caches).
+The cache stamp carries the git HEAD SHA, so a code change invalidates
+caches even at an identical config.
 """
 from __future__ import annotations
 
@@ -51,12 +60,30 @@ def wilson(k: int, n: int, z: float = 1.96):
     return (100 * (c - h), 100 * (c + h))
 
 
+def emb_stats(rows: np.ndarray) -> dict:
+    """Collapse signature on (B, D) global embeddings: mean pairwise
+    cosine -> 1.0 and per-dim std -> 0 mean every video maps to (nearly)
+    one vector, which presents as constant prediction in the probe."""
+    rows = np.asarray(rows, np.float32)
+    norms = np.linalg.norm(rows, axis=1)
+    fn = rows / np.maximum(norms[:, None], 1e-9)
+    cos = fn @ fn.T
+    iu = np.triu_indices(rows.shape[0], 1)
+    return {"mean_norm": round(float(norms.mean()), 3),
+            "mean_dim_std": round(float(rows.std(axis=0).mean()), 5),
+            "mean_pairwise_cos": round(float(cos[iu].mean()), 4)}
+
+
 def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
-             probe_epochs: int, keep_tree: bool, lr: float = 3e-4):
-    """One full pipeline run; returns (curve, counts, n_train, n_test).
+             probe_epochs: int, keep_tree: bool, lr: float = 3e-4,
+             sa_impl: str = "auto", dtype: str = "bfloat16",
+             tree_dir: str = ""):
+    """One full pipeline run; returns (curve, counts, n_train, n_test,
+    diagnostics).
 
     curve[ck] = test top-1 %, counts[ck] = (correct, total) at that
-    pretrain checkpoint."""
+    pretrain checkpoint; diagnostics[stream][ck] = embedding-collapse
+    stats over the test split's global embeddings."""
     import subprocess
 
     import jax
@@ -69,31 +96,41 @@ def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
     from facl_tpu.train.trainer import make_eval_step
 
     epochs = max(checkpoints)
-    root = tempfile.mkdtemp(prefix=f"facl_synth_s{seed}_")
+    if tree_dir:
+        root = os.path.join(tree_dir, f"seed{seed}")
+        os.makedirs(root, exist_ok=True)
+        keep_tree = True
+    else:
+        root = tempfile.mkdtemp(prefix=f"facl_synth_s{seed}_")
     t_start = time.perf_counter()
     try:
-        # Datagen in a CPU-pinned subprocess: at this clip shape the
-        # tunnel round-trips dominate the TPU path (~9.7 s/video CPU vs
-        # worse via the tunnel, measured r4), and it keeps the chip free.
+        # Datagen in a CPU-pinned subprocess (~1.1 s/video measured r4 at
+        # the 128x160 / 2048-pt shape): the tunnel round-trips would
+        # dominate the TPU path, and the subprocess keeps the chip free.
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        code = (
-            "import jax; jax.config.update('jax_platforms', 'cpu');\n"
-            f"import sys; sys.path.insert(0, {repo!r})\n"
-            "from facl_tpu.data.synthetic import write_synthetic_dataset\n"
-            f"write_synthetic_dataset({root!r}, {videos}, seed={seed}, "
-            f"class_conditioned=True, num_actions={actions})\n")
-        subprocess.run([sys.executable, "-c", code], check=True)
-        print(f"# seed {seed}: generated {videos} videos "
-              f"({time.perf_counter() - t_start:.0f}s)", flush=True)
+        if tree_dir and os.path.isdir(os.path.join(root, "Resolution60")):
+            print(f"# seed {seed}: reusing tree {root}", flush=True)
+        else:
+            code = (
+                "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+                f"import sys; sys.path.insert(0, {repo!r})\n"
+                "from facl_tpu.data.synthetic import write_synthetic_dataset\n"
+                f"write_synthetic_dataset({root!r}, {videos}, seed={seed}, "
+                f"class_conditioned=True, num_actions={actions})\n")
+            subprocess.run([sys.executable, "-c", code], check=True)
+            print(f"# seed {seed}: generated {videos} videos "
+                  f"({time.perf_counter() - t_start:.0f}s)", flush=True)
 
         snap = lambda tree: jax.tree.map(np.asarray, tree)
         feats = {}
         meta = {}
+        diagnostics = {}
         for stream in ("motion", "appearance"):
             cfg = Config()
             cfg = cfg.replace(
                 model=dataclasses.replace(cfg.model,
-                                          compute_dtype="bfloat16"),
+                                          sa_impl=sa_impl,
+                                          compute_dtype=dtype),
                 data=dataclasses.replace(cfg.data, root=root,
                                          stream=stream),
                 train=dataclasses.replace(
@@ -149,6 +186,11 @@ def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
                         for i, n in enumerate(bnames):
                             f[n] = fb[i]
                     feats[(stream, ck, split)] = f
+                    if split == "test":
+                        rows = np.stack(list(f.values()))
+                        D = rows.shape[1] // (G + 1)
+                        diagnostics.setdefault(stream, {})[ck] = emb_stats(
+                            rows[:, -D:])
             print(f"# seed {seed} {stream}: extracted {len(snaps)} "
                   "checkpoints", flush=True)
 
@@ -176,7 +218,8 @@ def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
                           len(tel))
             print(f"# seed {seed} probe @ pretrain epoch {ck}: "
                   f"top1={best['top1']:.1f}%", flush=True)
-        return curve, counts, len(meta["train"][0]), len(meta["test"][0])
+        return (curve, counts, len(meta["train"][0]),
+                len(meta["test"][0]), diagnostics)
     finally:
         if not keep_tree:
             shutil.rmtree(root, ignore_errors=True)
@@ -192,18 +235,38 @@ def main() -> None:
     probe_epochs = int(os.environ.get("SP_PROBE_EPOCHS", "40"))
     keep = os.environ.get("SP_KEEP_TREES", "0") == "1"
     lr = float(os.environ.get("SP_LR", "3e-4"))
+    sa_impl = os.environ.get("SP_SA_IMPL", "auto")
+    dtype = os.environ.get("SP_DTYPE", "bfloat16")
+    platform = os.environ.get("SP_PLATFORM", "")
+    tree_dir = os.environ.get("SP_TREE_DIR", "")
+    force = os.environ.get("SP_FORCE", "0") == "1"
+
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    curves, counts_by_seed = {}, {}
+    try:
+        import subprocess
+        sha = subprocess.check_output(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            text=True).strip()
+    except Exception:
+        sha = "unknown"
+    curves, counts_by_seed, diags = {}, {}, {}
     n_train = n_test = 0
     for seed in seeds:
         # Per-seed cache: each seed is an independent dataset+run, so a
         # wall-clock cutoff keeps completed seeds and a relaunch resumes.
+        # The stamp carries the git SHA: a rerun after ANY code change
+        # re-executes instead of silently reusing stale results.
         cache = os.path.join(repo, f"synth_probe_seed{seed}.json")
         stamp = {"videos": videos, "actions": actions,
                  "checkpoints": list(checkpoints), "batch": batch,
-                 "probe_epochs": probe_epochs, "lr": lr}
-        if os.path.exists(cache):
+                 "probe_epochs": probe_epochs, "lr": lr,
+                 "sa_impl": sa_impl, "dtype": dtype,
+                 "platform": platform, "git": sha}
+        if os.path.exists(cache) and not force:
             with open(cache) as fh:
                 prev = json.load(fh)
             if prev.get("stamp") == stamp:
@@ -213,18 +276,21 @@ def main() -> None:
                 counts_by_seed[seed] = {
                     int(k): tuple(v) for k, v in prev["counts"].items()}
                 n_train, n_test = prev["n_train"], prev["n_test"]
+                diags[seed] = prev.get("diagnostics", {})
                 continue
-        curve, counts, n_train, n_test = run_seed(
+        curve, counts, n_train, n_test, diag = run_seed(
             seed, videos, actions, checkpoints, batch, probe_epochs, keep,
-            lr=lr)
+            lr=lr, sa_impl=sa_impl, dtype=dtype, tree_dir=tree_dir)
         curves[seed] = curve
         counts_by_seed[seed] = counts
+        diags[seed] = diag
         with open(cache, "w") as fh:
             json.dump({"stamp": stamp,
                        "curve": {str(k): v for k, v in curve.items()},
                        "counts": {str(k): list(v)
                                   for k, v in counts.items()},
-                       "n_train": n_train, "n_test": n_test}, fh, indent=2)
+                       "n_train": n_train, "n_test": n_test,
+                       "diagnostics": diag}, fh, indent=2)
 
     # Headline checkpoint: best mean-over-seeds TRAINED epoch (>0) — the
     # per-seed curves are reported in full, so the selection is visible.
@@ -265,6 +331,10 @@ def main() -> None:
             [curves[s][best_ck] for s in seeds])), 2),
         "chance_pct": round(100.0 / actions, 1),
         "pretrain_lr": lr,
+        "sa_impl": sa_impl, "dtype": dtype,
+        "platform": platform or "default", "git": sha,
+        "embedding_diagnostics": {
+            str(s): d for s, d in diags.items()},
         "videos_per_seed": videos, "actions": actions,
         "train_videos": n_train, "test_videos": n_test,
         "pooled_test_n": n_t,
