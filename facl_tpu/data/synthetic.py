@@ -69,17 +69,26 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
                    + float(rng.uniform(-0.15, 0.15)))
             speed = (3.0 if action % 2 else 6.0) * float(
-                rng.uniform(0.75, 1.25))
+                rng.uniform(0.85, 1.15))
             vx = speed * np.cos(ang)
             vy = speed * np.sin(ang)
             x0 = int(rng.integers(W // 4, max(W // 4 + 1, W // 2)))
             y0 = int(rng.integers(H // 4, max(H // 4 + 1, H // 2)))
-            # Magnitude drawn per clip (the class carries the SIGN);
-            # range per the style contract in the docstring.
-            mag = float(rng.uniform(60.0, 220.0)
-                        if style == "reference_window"
-                        else rng.uniform(15.0, 40.0))
-            ddepth = mag * (1.0 if action % 2 else -1.0)
+            # The class-conditioned motion magnitudes are FIXED per class
+            # (sign by parity), not drawn per clip: the round-4 regression
+            # (VERDICT r4 weak #1; BASELINE.md round-5 root-cause note)
+            # was caused by per-clip-random |ddepth| in [15, 40] and a
+            # widened speed jitter — per-clip magnitudes are an INSTANCE
+            # signature, and the instance-discriminating InfoNCE
+            # objective uses exactly that nuisance to separate clips,
+            # orthogonalizing class structure (all sa_impl x dtype x
+            # platform arms landed at chance on that data;
+            # tools/diag_collapse.py). Instance variation for the
+            # contrastive task comes from blob size/position/base-depth
+            # instead. reference_window keeps |ddepth| inside the
+            # (50, 300) motion window per the style contract above.
+            ddepth = ((150.0 if style == "reference_window" else 25.0)
+                      * (1.0 if action % 2 else -1.0))
         for f in range(n_frames):
             x = int(np.clip(x0 + vx * f, 0, W - w - 1))
             y = int(np.clip(y0 + vy * f, 0, H - h - 1))

@@ -96,10 +96,14 @@ def run_arm(tree: str, sa_impl: str, dtype: str, epochs: int,
     ds = NTUPointDataset(tree, cfg.data, train=True)
     steps = max(1, len(ds) // batch)
     key = jax.random.PRNGKey(0)
+    print(f"# arm {sa_impl}/{dtype}: {len(ds)} train videos, "
+          f"{steps} steps/epoch", flush=True)
     trainer = Trainer(cfg, steps_per_epoch=steps)
     loader = CropLoader(ds, batch, key)
     sample = next(iter(loader.epoch(0)))[0]
+    print(f"# arm {sa_impl}/{dtype}: first batch loaded", flush=True)
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    print(f"# arm {sa_impl}/{dtype}: state initialized", flush=True)
     snap = lambda s: jax.tree.map(np.asarray, {
         "params": s.params, "batch_stats": s.batch_stats})
     snaps = {0: snap(state)}
@@ -110,6 +114,10 @@ def run_arm(tree: str, sa_impl: str, dtype: str, epochs: int,
             state, (b for b, _, _ in loader.epoch(ep)), ep,
             jax.random.fold_in(key, ep))
         losses.append(round(float(metrics["loss"]), 1))
+        if ep == 0:
+            print(f"# arm {sa_impl}/{dtype}: epoch 0 done "
+                  f"({time.perf_counter() - t0:.0f}s) "
+                  f"loss={losses[-1]}", flush=True)
         if ep + 1 in checkpoints:
             snaps[ep + 1] = snap(state)
     print(f"# arm {sa_impl}/{dtype}: {epochs} epochs in "
