@@ -51,6 +51,21 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
       the edge-only regime."""
     if style not in ("instance", "reference_window"):
         raise ValueError(f"unknown style {style!r}")
+
+    def _bounce(p0: float, v: float, f: int, lo: int, hi: int) -> float:
+        """Position at frame f of a particle reflecting between lo/hi.
+        reference_window clips use this instead of np.clip: a blob that
+        CLIPS at the frame border freezes, its inter-frame depth diffs
+        drop below the 50 mm motion window, and the reference generator
+        then crashes on its empty key-voxel set (randint(0, 0),
+        generate_NTU.py:225 after disca_voxel(key, 6) wipes a sparse
+        cloud) — bouncing keeps interior motion present every frame."""
+        if hi <= lo:
+            return float(lo)
+        span = float(hi - lo)
+        q = (p0 - lo + v * f) % (2.0 * span)
+        return lo + (span - abs(q - span))
+
     H, W = shape
     frames = np.zeros((n_frames, H, W), np.float32)
     for b in range(n_blobs):
@@ -90,8 +105,12 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             ddepth = ((150.0 if style == "reference_window" else 25.0)
                       * (1.0 if action % 2 else -1.0))
         for f in range(n_frames):
-            x = int(np.clip(x0 + vx * f, 0, W - w - 1))
-            y = int(np.clip(y0 + vy * f, 0, H - h - 1))
+            if style == "reference_window" and action is not None:
+                x = int(_bounce(x0, vx, f, 0, W - w - 1))
+                y = int(_bounce(y0, vy, f, 0, H - h - 1))
+            else:
+                x = int(np.clip(x0 + vx * f, 0, W - w - 1))
+                y = int(np.clip(y0 + vy * f, 0, H - h - 1))
             frames[f, y:y + h, x:x + w] = depth + ddepth * f
     return frames
 
@@ -138,9 +157,17 @@ def write_synthetic_png_tree(root: str, num_videos: int = 64, seed: int = 0,
         os.makedirs(vdir, exist_ok=True)
         clip_rng = np.random.default_rng(seed * 1000 + i)
         action = int(name[-3:]) if class_conditioned else None
+        # reference_window REQUIRED here: the PNG tree feeds the
+        # reference generator, whose motion localisation only sees
+        # |ddepth| inside the (50, 300) window (locate_motion,
+        # generate_NTU.py:355-366) and crashes on an empty key-voxel
+        # set otherwise (randint(0, 0), :225) — the instance style's
+        # sub-50 mm drift is invisible to it (style contract in
+        # synthetic_depth_clip's docstring).
         frames = synthetic_depth_clip(clip_rng, n_frames=n_frames,
                                       shape=shape, action=action,
-                                      num_actions=num_actions)
+                                      num_actions=num_actions,
+                                      style="reference_window")
         for f in range(frames.shape[0]):
             imageio.imwrite(os.path.join(vdir, f"{name}_f{f:03d}.png"),
                             frames[f].astype(np.uint16))
