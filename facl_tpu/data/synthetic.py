@@ -81,8 +81,15 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             vy = 0.0
             ddepth = 80.0 if style == "reference_window" else 20.0
         else:
+            # Angle jitter scales with the class spacing (r5): 1/4 of
+            # the 2*pi/A wedge, capped at the historical +-0.15 rad —
+            # identical to the green r3/r5 behavior for A <= 10, and
+            # non-overlapping for the larger class counts the
+            # clips-per-class scaling study uses (BASELINE.md round-5
+            # scale note).
+            jrange = min(0.15, 0.5 * np.pi / max(num_actions, 1))
             ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
-                   + float(rng.uniform(-0.15, 0.15)))
+                   + float(rng.uniform(-jrange, jrange)))
             speed = (3.0 if action % 2 else 6.0) * float(
                 rng.uniform(0.85, 1.15))
             vx = speed * np.cos(ang)
