@@ -12,6 +12,58 @@ from facl_tpu.config import DataConfig, DatagenConfig
 from facl_tpu.datagen import ClipGenerator
 
 
+def _articulated_clip(rng: np.random.Generator, frames: np.ndarray,
+                      action: int, num_actions: int) -> None:
+    """One articulated 6-part figure with class-conditioned translation
+    (see the v4 note in :func:`synthetic_depth_clip`). Parts are rigid
+    relative to the figure — every interior inter-frame depth diff
+    equals the class ddepth (edge-only motion regime preserved) — while
+    the per-clip proportions, joint offsets, depth layers, surface
+    textures and silhouettes give ~40 crop-stable instance DOF."""
+    n_frames, H, W = frames.shape
+    jrange = min(0.15, 0.5 * np.pi / max(num_actions, 1))
+    ang = (2.0 * np.pi * (action - 1) / max(num_actions, 1)
+           + float(rng.uniform(-jrange, jrange)))
+    speed = (3.0 if action % 2 else 6.0) * float(rng.uniform(0.85, 1.15))
+    vx, vy = speed * np.cos(ang), speed * np.sin(ang)
+    ddepth = 25.0 * (1.0 if action % 2 else -1.0)
+    depth = float(rng.uniform(1800, 3200))
+    x0 = int(rng.integers(W // 4, max(W // 4 + 1, W // 2)))
+    y0 = int(rng.integers(H // 4, max(H // 4 + 1, H // 2)))
+
+    specs = [(0, 0, int(rng.integers(H // 5, H // 3)),
+              int(rng.integers(W // 8, W // 5)))]          # torso
+    for _ in range(5):                                     # limbs/head
+        specs.append((int(rng.integers(-H // 5, H // 5 + 1)),
+                      int(rng.integers(-W // 6, W // 6 + 1)),
+                      int(rng.integers(H // 10, H // 3)),
+                      int(rng.integers(W // 12, W // 5))))
+    parts = []
+    for k, (dy, dx, ph, pw) in enumerate(specs):
+        dz = 0.0 if k == 0 else float(rng.uniform(-300, 300))
+        yy, xx = np.mgrid[0:ph, 0:pw].astype(np.float32)
+        uy, ux = yy - (ph - 1) / 2.0, xx - (pw - 1) / 2.0
+        tex = (float(rng.uniform(-1.5, 1.5)) * ux
+               + float(rng.uniform(-1.5, 1.5)) * uy
+               + float(rng.uniform(-0.018, 0.018)) * (ux * ux + uy * uy))
+        if rng.uniform() < 0.5:
+            mask = ((uy / (ph / 2.0)) ** 2 + (ux / (pw / 2.0)) ** 2) <= 1.0
+        else:
+            mask = np.ones((ph, pw), bool)
+        parts.append((dy, dx, ph, pw, dz, tex, mask))
+
+    for f in range(n_frames):
+        bx, by = x0 + vx * f, y0 + vy * f
+        for dy, dx, ph, pw, dz, tex, mask in parts:
+            x = int(np.clip(bx + dx, 0, W - pw - 1))
+            y = int(np.clip(by + dy, 0, H - ph - 1))
+            patch = frames[f, y:y + ph, x:x + pw]
+            vals = depth + dz + ddepth * f + tex
+            # nearest-surface composition at part overlaps
+            sel = mask & ((patch == 0) | (vals < patch))
+            patch[sel] = vals[sel]
+
+
 def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
                          shape=(424, 512), n_blobs: int = 2,
                          action: Optional[int] = None,
@@ -68,6 +120,27 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
 
     H, W = shape
     frames = np.zeros((n_frames, H, W), np.float32)
+    if style == "instance" and action is not None:
+        # v4 (r5): one ARTICULATED MULTI-PART FIGURE per clip instead of
+        # independent rectangles. Scale study (BASELINE.md round-5 scale
+        # note): with ~15 crop-stable DOF per clip, the instance-
+        # discrimination objective collapses to the uniform-logit floor
+        # within the first epoch once the train split exceeds ~150
+        # clips — in facl_tpu AND bit-for-bit in the reference torch
+        # pipeline on the same tree (tools/diag_torch_504.py). The
+        # trajectories of the 144-green and 504-red runs are
+        # statistically identical until clips start REPEATING (step ~6
+        # at 144 vs ~19 at 504, batch 16): repetition anchors instance
+        # codes; before it, fresh low-DOF clips make the in-batch
+        # discrimination task degenerate. Real NTU depth clips are
+        # near-unique per clip; this figure (6 parts x per-clip
+        # proportions, offsets, depth layers, surface textures — ~40
+        # DOF, all rigid so the edge-only motion regime is preserved)
+        # is the toy analogue. Class semantics are UNCHANGED: the whole
+        # figure translates with the class angle/speed and class-signed
+        # depth drift.
+        _articulated_clip(rng, frames, action, num_actions)
+        return frames
     for b in range(n_blobs):
         h = int(rng.integers(H // 4, H // 2))
         w = int(rng.integers(W // 10, W // 5))
@@ -111,6 +184,39 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             # (50, 300) motion window per the style contract above.
             ddepth = ((150.0 if style == "reference_window" else 25.0)
                       * (1.0 if action % 2 else -1.0))
+        # Per-blob GEOMETRY signature (instance style, r5): a depth
+        # texture (tilt plane + dome) and an ellipse-vs-rectangle
+        # silhouette that ride WITH the blob — crop-stable,
+        # high-dimensional, class-orthogonal instance identity. At ~300
+        # train clips the r5-fixed plain-rectangle clips left the
+        # instance-discrimination task unsolvable from 512-point crops
+        # (too few stable per-clip DOF) and the objective collapsed to
+        # the uniform-logit floor — in facl_tpu AND bit-for-bit in the
+        # reference torch pipeline on the same tree
+        # (tools/diag_torch_504.py; BASELINE.md round-5 scale note).
+        # The texture's temporal self-difference under blob motion
+        # (|grad| * |v| <~ 20 mm) keeps interior inter-frame diffs
+        # below the 50 mm motion-localisation threshold, preserving
+        # the instance style's edge-only motion regime.
+        if style == "instance" and action is not None:
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            uy, ux = yy - (h - 1) / 2.0, xx - (w - 1) / 2.0
+            # Amplitudes sized for the 60 mm datagen voxel grid (the
+            # texture must survive voxel quantization, ~+-1-2 voxels
+            # over a blob) under the edge-only constraint
+            # |grad tex|*|v| + |ddepth| < 50 mm (worst case ~48).
+            gx = float(rng.uniform(-1.5, 1.5))
+            gy = float(rng.uniform(-1.5, 1.5))
+            dome = float(rng.uniform(-0.018, 0.018))
+            tex = gx * ux + gy * uy + dome * (ux * ux + uy * uy)
+            if rng.uniform() < 0.5:
+                mask = ((uy / (h / 2.0)) ** 2
+                        + (ux / (w / 2.0)) ** 2) <= 1.0
+            else:
+                mask = np.ones((h, w), bool)
+        else:
+            tex = np.zeros((h, w), np.float32)
+            mask = np.ones((h, w), bool)
         for f in range(n_frames):
             if style == "reference_window" and action is not None:
                 x = int(_bounce(x0, vx, f, 0, W - w - 1))
@@ -118,7 +224,8 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             else:
                 x = int(np.clip(x0 + vx * f, 0, W - w - 1))
                 y = int(np.clip(y0 + vy * f, 0, H - h - 1))
-            frames[f, y:y + h, x:x + w] = depth + ddepth * f
+            patch = frames[f, y:y + h, x:x + w]
+            patch[mask] = (depth + ddepth * f + tex)[mask]
     return frames
 
 
