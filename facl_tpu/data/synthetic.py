@@ -12,6 +12,28 @@ from facl_tpu.config import DataConfig, DatagenConfig
 from facl_tpu.datagen import ClipGenerator
 
 
+def _bounce(p0: float, v: float, f: int, lo: int, hi: int) -> float:
+    """Position at frame f of a particle reflecting between lo/hi.
+
+    Class-conditioned clips use this instead of np.clip: a blob that
+    CLIPS at the frame border freezes, produces no inter-frame motion,
+    and the datagen pipelines then emit a DEGENERATE point cloud — the
+    reference generator crashes outright (randint(0, 0),
+    generate_NTU.py:225) and ours writes the all-constant fallback
+    cloud. Identical all-zero clips are poison for the
+    instance-discriminating InfoNCE objective: at ~10% of the train
+    split, half the batches ask it to separate IDENTICAL inputs and
+    the representation collapses to the uniform-logit floor — the
+    actual root cause of the r5 504-video collapse (green 144-video
+    runs had 5% empties in train by split-placement luck; BASELINE.md
+    round-5 scale note)."""
+    if hi <= lo:
+        return float(lo)
+    span = float(hi - lo)
+    q = (p0 - lo + v * f) % (2.0 * span)
+    return lo + (span - abs(q - span))
+
+
 def _articulated_clip(rng: np.random.Generator, frames: np.ndarray,
                       action: int, num_actions: int) -> None:
     """One articulated 6-part figure with class-conditioned translation
@@ -53,7 +75,11 @@ def _articulated_clip(rng: np.random.Generator, frames: np.ndarray,
         parts.append((dy, dx, ph, pw, dz, tex, mask))
 
     for f in range(n_frames):
-        bx, by = x0 + vx * f, y0 + vy * f
+        # The BASE trajectory bounces off margins (never freezes — see
+        # _bounce); individual parts may still clip at the border for
+        # a few frames, which only deforms the silhouette there.
+        bx = _bounce(x0, vx, f, W // 6, W - W // 6)
+        by = _bounce(y0, vy, f, H // 5, H - H // 5)
         for dy, dx, ph, pw, dz, tex, mask in parts:
             x = int(np.clip(bx + dx, 0, W - pw - 1))
             y = int(np.clip(by + dy, 0, H - ph - 1))
@@ -101,23 +127,8 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
       the reference generator crashes on an empty key-voxel set
       (randint(0, 0), generate_NTU.py:224) and so cannot even represent
       the edge-only regime."""
-    if style not in ("instance", "reference_window"):
+    if style not in ("instance", "blobs", "reference_window"):
         raise ValueError(f"unknown style {style!r}")
-
-    def _bounce(p0: float, v: float, f: int, lo: int, hi: int) -> float:
-        """Position at frame f of a particle reflecting between lo/hi.
-        reference_window clips use this instead of np.clip: a blob that
-        CLIPS at the frame border freezes, its inter-frame depth diffs
-        drop below the 50 mm motion window, and the reference generator
-        then crashes on its empty key-voxel set (randint(0, 0),
-        generate_NTU.py:225 after disca_voxel(key, 6) wipes a sparse
-        cloud) — bouncing keeps interior motion present every frame."""
-        if hi <= lo:
-            return float(lo)
-        span = float(hi - lo)
-        q = (p0 - lo + v * f) % (2.0 * span)
-        return lo + (span - abs(q - span))
-
     H, W = shape
     frames = np.zeros((n_frames, H, W), np.float32)
     if style == "instance" and action is not None:
@@ -218,7 +229,9 @@ def synthetic_depth_clip(rng: np.random.Generator, n_frames: int = 16,
             tex = np.zeros((h, w), np.float32)
             mask = np.ones((h, w), bool)
         for f in range(n_frames):
-            if style == "reference_window" and action is not None:
+            if action is not None:
+                # Bounce, never freeze — frozen blobs mean degenerate
+                # point clouds (see _bounce).
                 x = int(_bounce(x0, vx, f, 0, W - w - 1))
                 y = int(_bounce(y0, vy, f, 0, H - h - 1))
             else:
@@ -322,7 +335,8 @@ def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
                             datagen_cfg: Optional[DatagenConfig] = None,
                             class_conditioned: bool = False,
                             num_actions: int = 5,
-                            clip_batch: int = 4) -> Sequence[str]:
+                            clip_batch: int = 4,
+                            style: str = "instance") -> Sequence[str]:
     """Generate a small synthetic point-cloud tree in the on-disk layout the
     dataset/loader expect, by running the *real* datagen pipeline on
     synthetic depth clips (cross-clip batched, ``clip_batch`` per jit).
@@ -333,10 +347,21 @@ def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
     structure to find — the basis of the end-to-end learning
     demonstration (tools/train_synthetic_probe.py)."""
     rng = np.random.default_rng(seed)
+    # boundary_seg scaled to the toy image shape: the reference crop
+    # (60, 29, 10, 10) is sized for 424x512 Kinect frames
+    # (generate_NTU.py:339-351); applied verbatim to 128x160 frames it
+    # wipes rows < 60 — half the image — and silently turns every
+    # mostly-horizontal mover (class angles near 0/pi) into the
+    # DEGENERATE all-constant point cloud. ~10% identical clips in a
+    # train split is exactly the instance-discrimination poison that
+    # caused the r5 504-video collapse (BASELINE.md round-5 scale
+    # note; the reference torch pipeline collapses on such a tree too,
+    # torch_collapse_504.json).
     cfg = datagen_cfg or DatagenConfig(
         grid_shape=(48, 48, 48), image_shape=(128, 160),
         sample_num=2048, num_appearance_frames=10,
-        voxel_size=60.0, resolutions=(60, 30, 10))
+        voxel_size=60.0, resolutions=(60, 30, 10),
+        boundary_seg=(18, 9, 3, 3))
     pool = sorted(set(synthetic_ntu_names(num_videos * 3, rng,
                                           num_actions=num_actions)))
     if len(pool) < num_videos:
@@ -357,7 +382,7 @@ def write_synthetic_dataset(root: str, num_videos: int = 8, seed: int = 0,
                 clips.append(synthetic_depth_clip(
                     clip_rng, n_frames=min(16, res),
                     shape=cfg.image_shape, action=action,
-                    num_actions=num_actions))
+                    num_actions=num_actions, style=style))
             outs = gen.from_frames_batch(
                 clips, tags=list(chunk),
                 pad_to=clip_batch if len(chunk) < clip_batch else None)

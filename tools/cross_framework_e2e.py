@@ -421,17 +421,24 @@ def facl_phase(args):
         ckpt = os.path.join(work, f"facl_ckpt_{stream}")
         feat = os.path.join(work, f"facl_feat_{stream}")
         feats[stream] = feat
+        # Per-stage resume: a killed run (e.g. a TPU-tunnel outage)
+        # keeps its finished checkpoints/features; only missing stages
+        # re-run.
+        done = lambda d, suffix: (os.path.isdir(d) and any(
+            f.endswith(suffix) for f in os.listdir(d)))
         t0 = time.time()
-        _run([sys.executable, "-m", "facl_tpu.cli.pretrain", "--root",
-              tree, "--stream", stream, "--epochs", str(args.epochs),
-              "--batch-size", str(args.batch), "--out", ckpt], cwd=REPO,
-             platform=args.facl_platform)
+        if not done(ckpt, ".msgpack"):
+            _run([sys.executable, "-m", "facl_tpu.cli.pretrain", "--root",
+                  tree, "--stream", stream, "--epochs", str(args.epochs),
+                  "--batch-size", str(args.batch), "--out", ckpt],
+                 cwd=REPO, platform=args.facl_platform)
         t_train += time.time() - t0
         t0 = time.time()
-        _run([sys.executable, "-m", "facl_tpu.cli.extract", "--root",
-              tree, "--stream", stream, "--checkpoint", ckpt, "--out",
-              feat, "--batch-size", str(args.batch)], cwd=REPO,
-             platform=args.facl_platform)
+        if not done(feat, ".npy"):
+            _run([sys.executable, "-m", "facl_tpu.cli.extract", "--root",
+                  tree, "--stream", stream, "--checkpoint", ckpt,
+                  "--out", feat, "--batch-size", str(args.batch)],
+                 cwd=REPO, platform=args.facl_platform)
         t_extract += time.time() - t0
 
     # Probe: motion + appearance features combined, as the reference

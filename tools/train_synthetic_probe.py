@@ -77,7 +77,7 @@ def emb_stats(rows: np.ndarray) -> dict:
 def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
              probe_epochs: int, keep_tree: bool, lr: float = 3e-4,
              sa_impl: str = "auto", dtype: str = "bfloat16",
-             tree_dir: str = ""):
+             tree_dir: str = "", style: str = "blobs"):
     """One full pipeline run; returns (curve, counts, n_train, n_test,
     diagnostics).
 
@@ -116,7 +116,8 @@ def run_seed(seed: int, videos: int, actions: int, checkpoints, batch: int,
                 f"import sys; sys.path.insert(0, {repo!r})\n"
                 "from facl_tpu.data.synthetic import write_synthetic_dataset\n"
                 f"write_synthetic_dataset({root!r}, {videos}, seed={seed}, "
-                f"class_conditioned=True, num_actions={actions})\n")
+                f"class_conditioned=True, num_actions={actions}, "
+                f"style={style!r})\n")
             subprocess.run([sys.executable, "-c", code], check=True)
             print(f"# seed {seed}: generated {videos} videos "
                   f"({time.perf_counter() - t_start:.0f}s)", flush=True)
@@ -240,6 +241,12 @@ def main() -> None:
     platform = os.environ.get("SP_PLATFORM", "")
     tree_dir = os.environ.get("SP_TREE_DIR", "")
     force = os.environ.get("SP_FORCE", "0") == "1"
+    # Clip family: "blobs" (two rectangles, the r3/r5-validated green
+    # regime) or "instance" (articulated figures — so separable that
+    # the random-encoder control nearly saturates the probe; kept for
+    # stress-testing datagen). Both are poison-free post-r5
+    # (bounce trajectories + shape-scaled boundary crop).
+    style = os.environ.get("SP_STYLE", "blobs")
 
     if platform:
         import jax
@@ -265,7 +272,7 @@ def main() -> None:
                  "checkpoints": list(checkpoints), "batch": batch,
                  "probe_epochs": probe_epochs, "lr": lr,
                  "sa_impl": sa_impl, "dtype": dtype,
-                 "platform": platform, "git": sha}
+                 "platform": platform, "style": style, "git": sha}
         if os.path.exists(cache) and not force:
             with open(cache) as fh:
                 prev = json.load(fh)
@@ -280,7 +287,8 @@ def main() -> None:
                 continue
         curve, counts, n_train, n_test, diag = run_seed(
             seed, videos, actions, checkpoints, batch, probe_epochs, keep,
-            lr=lr, sa_impl=sa_impl, dtype=dtype, tree_dir=tree_dir)
+            lr=lr, sa_impl=sa_impl, dtype=dtype, tree_dir=tree_dir,
+            style=style)
         curves[seed] = curve
         counts_by_seed[seed] = counts
         diags[seed] = diag
@@ -331,7 +339,7 @@ def main() -> None:
             [curves[s][best_ck] for s in seeds])), 2),
         "chance_pct": round(100.0 / actions, 1),
         "pretrain_lr": lr,
-        "sa_impl": sa_impl, "dtype": dtype,
+        "sa_impl": sa_impl, "dtype": dtype, "style": style,
         "platform": platform or "default", "git": sha,
         "embedding_diagnostics": {
             str(s): d for s, d in diags.items()},
